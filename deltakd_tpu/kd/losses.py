@@ -1,0 +1,399 @@
+"""The distillation-objective zoo as pure functions.
+
+Functional counterpart of the reference's ``DistillationLoss`` dispatcher and
+per-method loss functions (reference model/loss.py:19-452). Every objective is
+a pure function of (features, aux params, targets, PRNG key, epoch); the
+distillation *type* is resolved in Python outside jit (one compiled train step
+per type), while CurKD's epoch schedule stays *inside* jit as a
+``lax.switch`` so a single compiled step serves all 300 epochs.
+
+Reduction semantics are matched exactly to the reference (SURVEY.md "hard
+parts" #1): KL with reduction='sum' scaled by T²/numel (loss.py:59-64),
+sum-MSE divided by batch only in ViTKD/CurKD (loss.py:289,309-310,384,393,420)
+vs mean-MSE in LRKD/MGD/saliency (loss.py:315,326,336,423), and the combine
+split — α-weighted for soft/hard/lrkd/diffkd (loss.py:241) vs additive
+early-return for vitkd/curkd/saliency_mgd/mgd (loss.py:78,165,174,236) vs
+``base + 5·distill`` for wasskd (loss.py:226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from deltakd_tpu.kd import aux as aux_ops
+from deltakd_tpu.kd.masking import (fill_and_restore, grid_to_tokens,
+                                    random_masking, saliency_masking,
+                                    tokens_to_grid)
+from deltakd_tpu.kd.sinkhorn import batched_sinkhorn_divergence
+
+FEATURE_TYPES = ("vitkd", "lrkd", "diffkd", "curkd", "saliency_mgd", "wasskd", "mgd")
+LOGIT_TYPES = ("soft", "hard")
+ALL_TYPES = ("none",) + LOGIT_TYPES + FEATURE_TYPES
+
+
+@dataclasses.dataclass(frozen=True)
+class KDSettings:
+    """Static hyperparameters a compiled loss needs (subset of TrainConfig)."""
+
+    distillation_type: str = "none"
+    alpha: float = 0.1
+    tau: float = 3.0
+    smoothing: float = 0.1
+    mixup_active: bool = True
+    lrkd_rank: int = 32
+    lrkd_alpha: float = 0.1
+    lrkd_beta: float = 0.1
+    lrkd_gamma: float = 0.1
+    saliency_method: int = 1
+    saliency_mask_ratio: float = 0.5
+    wasskd_type: str = "l1"
+    mgd_alpha: float = 7e-5
+    mgd_mask_ratio: float = 0.5
+    student_prefix: int = 1   # CLS (reference slices [:,1:], loss.py:88-91)
+    teacher_prefix: int = 2   # CLS+DIST (reference slices [:,2:], loss.py:95-99)
+    sinkhorn_iters: int = 100
+
+    @classmethod
+    def from_config(cls, cfg, *, student_prefix: int, teacher_prefix: int) -> "KDSettings":
+        return cls(
+            distillation_type=cfg.distillation_type, alpha=cfg.alpha, tau=cfg.tau,
+            smoothing=cfg.smoothing, mixup_active=cfg.mixup_active,
+            lrkd_rank=cfg.lrkd_rank, lrkd_alpha=cfg.lrkd_alpha,
+            lrkd_beta=cfg.lrkd_beta, lrkd_gamma=cfg.lrkd_gamma,
+            saliency_method=cfg.saliency_method,
+            saliency_mask_ratio=cfg.saliency_mask_ratio,
+            wasskd_type=cfg.wasskd_type, mgd_alpha=cfg.mgd_alpha,
+            mgd_mask_ratio=cfg.mgd_mask_ratio,
+            student_prefix=student_prefix, teacher_prefix=teacher_prefix)
+
+
+# ----------------------------------------------------------------------------
+# Base criteria (reference model/loss.py:244-249 via timm.loss)
+# ----------------------------------------------------------------------------
+
+def soft_target_cross_entropy(logits: jax.Array, soft_targets: jax.Array) -> jax.Array:
+    """timm SoftTargetCrossEntropy: mean over batch of -<target, log_softmax>."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.sum(-soft_targets * logp, axis=-1))
+
+
+def label_smoothing_cross_entropy(logits: jax.Array, labels: jax.Array,
+                                  smoothing: float = 0.1) -> jax.Array:
+    """timm LabelSmoothingCrossEntropy on integer labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def base_criterion(kd: KDSettings, logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mixup on → soft-target CE, else label-smoothing CE (loss.py:244-249)."""
+    if kd.mixup_active:
+        return soft_target_cross_entropy(logits, targets)
+    return label_smoothing_cross_entropy(logits, targets, kd.smoothing)
+
+
+# ----------------------------------------------------------------------------
+# Shared helpers
+# ----------------------------------------------------------------------------
+
+def _sum_sq(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return jnp.sum(x * x)
+
+
+def _mean_sq(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return jnp.mean(x * x)
+
+
+def _masked_generation(aux: Dict[str, Any], x_keep: jax.Array,
+                       ids_restore: jax.Array) -> jax.Array:
+    """fill → restore order → grid → conv generation → tokens
+    (the shared tail of vitkd/mgd/saliency_mgd/curkd, loss.py:300-307)."""
+    x = fill_and_restore(x_keep, ids_restore, aux["mask_token"])
+    x = tokens_to_grid(x)
+    x = aux_ops.generation_apply(aux["generation"], x)
+    return grid_to_tokens(x)
+
+
+def rank_k_targets(t_feat_2d: jax.Array, rank: int) -> jax.Array:
+    """Top-k spectral projection U_k·diag(S_k) of a [M, D] feature matrix.
+
+    The reference computes a full SVD (reference model/loss.py:321-324), which
+    is slow on TPU for M ≈ 50k rows. Since U_k·diag(S_k) = A·V_k, we instead
+    eigendecompose the D×D Gram matrix (one MXU matmul + a tiny eigh) and
+    project — identical up to the usual SVD column-sign ambiguity, which is
+    arbitrary in LAPACK anyway and irrelevant to the induced training signal's
+    geometry (the student align head absorbs the orthogonal/sign convention).
+    """
+    a = t_feat_2d.astype(jnp.float32)
+    gram = a.T @ a
+    _, vecs = jnp.linalg.eigh(gram)          # ascending eigenvalues
+    v_k = vecs[:, ::-1][:, :rank]            # top-k right singular vectors
+    return a @ v_k                           # [M, rank] == U_k diag(S_k)
+
+
+def _slice_feats(feats: Sequence[jax.Array], idx: Sequence[int], prefix: int
+                 ) -> Tuple[jax.Array, ...]:
+    return tuple(feats[i][:, prefix:] for i in idx)
+
+
+# ----------------------------------------------------------------------------
+# Individual objectives
+# ----------------------------------------------------------------------------
+
+def soft_kd_loss(dist_logits: jax.Array, teacher_logits: jax.Array,
+                 tau: float) -> jax.Array:
+    """DeiT soft KD: KL(log_softmax(s/T) ‖ log_softmax(t/T)) summed, ×T²/numel
+    (reference model/loss.py:57-64)."""
+    T = tau
+    ls = jax.nn.log_softmax(dist_logits.astype(jnp.float32) / T, axis=1)
+    lt = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / T, axis=1)
+    kl = jnp.sum(jnp.exp(lt) * (lt - ls))
+    return kl * (T * T) / dist_logits.size
+
+
+def hard_kd_loss(dist_logits: jax.Array, teacher_logits: jax.Array) -> jax.Array:
+    """CE against the teacher argmax (reference model/loss.py:66-67)."""
+    return cross_entropy(dist_logits, jnp.argmax(teacher_logits, axis=1))
+
+
+def vitkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
+               rng: jax.Array, *, alpha_vitkd: float = 3e-5,
+               beta_vitkd: float = 3e-6, lambda_vitkd: float = 0.5) -> jax.Array:
+    """ViTKD (reference model/loss.py:251-311): blocks 0,1 linear mimicking +
+    block-11 masked generation, both sum-MSE / B."""
+    s0, s1, s_last = _slice_feats(s_feats, (0, 1, -1), kd.student_prefix)
+    t0, t1, t_last = _slice_feats(t_feats, (0, 1, -1), kd.teacher_prefix)
+    B = s0.shape[0]
+
+    xc0 = aux_ops.dense(aux["align2"][0], s0)
+    xc1 = aux_ops.dense(aux["align2"][1], s1)
+    loss_lr = (_sum_sq(xc0 - t0) + _sum_sq(xc1 - t1)) / B * alpha_vitkd
+
+    x = aux_ops.dense(aux["align"], s_last)
+    x_keep, mask, ids_restore, _ = random_masking(rng, x, lambda_vitkd)
+    x = _masked_generation(aux, x_keep, ids_restore)
+    m = mask[..., None].astype(jnp.float32)
+    loss_gen = _sum_sq((x.astype(jnp.float32) - t_last.astype(jnp.float32)) * m)
+    loss_gen = loss_gen / B * beta_vitkd / lambda_vitkd
+    return loss_lr + loss_gen
+
+
+def lrkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Array:
+    """LRKD (reference model/loss.py:80-103,314-330): student features projected
+    to rank-k, matched against the teacher's top-k spectral coordinates."""
+    s_sel = _slice_feats(s_feats, (0, 1, -1), kd.student_prefix)
+    # teacher layers 0, 1, 11 explicitly (loss.py:95-99)
+    t_sel = _slice_feats(t_feats, (0, 1, 11), kd.teacher_prefix)
+    losses = []
+    for a_params, s, t in zip(aux["align"], s_sel, t_sel):
+        s2 = aux_ops.dense(a_params, s).reshape(-1, kd.lrkd_rank)
+        t2 = t.reshape(-1, t.shape[-1])
+        target = rank_k_targets(t2, kd.lrkd_rank)
+        losses.append(_mean_sq(target - s2.astype(jnp.float32)))
+    return (losses[0] * kd.lrkd_alpha + losses[1] * kd.lrkd_beta
+            + losses[2] * kd.lrkd_gamma)
+
+
+def diffkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
+                rng: jax.Array, train: bool = True) -> jax.Array:
+    """DiffKD (reference model/loss.py:105-155): cosine noise schedule over 8
+    steps with a 0.3/0.7 σ_max split, student denoiser predicts the injected
+    noise, plus 1/σ²-weighted direct feature matching; total × 5e-5."""
+    s_sel = _slice_feats(s_feats, (0, 1, -1), kd.student_prefix)
+    t_sel = _slice_feats(t_feats, (0, 1, -1), kd.teacher_prefix)
+    B = s_sel[0].shape[0]
+    T = 8
+    k_t, k_rest = jax.random.split(rng)
+    t_step = jax.random.randint(k_t, (B,), 0, T)
+    sigma_max = jnp.where(t_step < T // 2, 0.3, 0.7)
+    sigma_t = (1.0 - jnp.cos(math.pi * t_step.astype(jnp.float32) / T)) * sigma_max
+
+    feat_loss = 0.0
+    for i, (a_params, s, t) in enumerate(zip(aux["align"], s_sel, t_sel)):
+        k_noise, k_drop = jax.random.split(jax.random.fold_in(k_rest, i))
+        t_n = t.astype(jnp.float32)
+        t_n = t_n / jnp.linalg.norm(t_n, axis=-1, keepdims=True)
+        s_n = aux_ops.dense(a_params, s).astype(jnp.float32)
+        s_n = s_n / jnp.linalg.norm(s_n, axis=-1, keepdims=True)
+
+        noise = jax.random.normal(k_noise, t_n.shape) * sigma_t[:, None, None]
+        noisy = t_n + noise
+        pred = aux_ops.denoise_apply(aux["denoise"], noisy, t_step, k_drop, train)
+        feat_loss += _mean_sq(pred - noise)
+        w_t = 1.0 / (sigma_t ** 2 + 1e-8)
+        feat_loss += jnp.mean(w_t) * _mean_sq(s_n - t_n)
+
+    return feat_loss / 3.0 * 5e-5
+
+
+def curkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
+               rng: jax.Array, epoch: jax.Array) -> jax.Array:
+    """CurKD (reference model/loss.py:362-420): an epoch-scheduled curriculum.
+
+    The reference branches in Python on a runtime-mutated ``args.current_epoch``
+    (engine.py:47); here the three phases are ``lax.switch`` branches inside one
+    compiled step and the epoch is an explicit traced scalar.
+    """
+    B = s_feats[0].shape[0]
+    sp, tp = kd.student_prefix, kd.teacher_prefix
+
+    def phase_early(_):
+        loss = 0.0
+        for i in range(3):
+            x = aux_ops.dense(aux["curkd_align_early"][i], s_feats[i][:, sp:])
+            loss += _sum_sq(x.astype(jnp.float32) - t_feats[i][:, tp:].astype(jnp.float32))
+        return loss / 3.0 / B * 4e-5
+
+    def phase_mid(_):
+        loss = 0.0
+        for i in range(3, 7):
+            x = aux_ops.dense(aux["curkd_align_mid"][i - 3], s_feats[i][:, sp:])
+            loss += _sum_sq(x.astype(jnp.float32) - t_feats[i][:, tp:].astype(jnp.float32))
+        return loss / 4.0 / B * 4e-5
+
+    def phase_last(_):
+        stu = aux_ops.dense(aux["curkd_align_last"], s_feats[11][:, sp:])
+        tea = t_feats[11][:, tp:].astype(jnp.float32)
+        x_keep, mask, ids_restore, _ = random_masking(rng, stu, 0.5)
+        x = _masked_generation(aux, x_keep, ids_restore)
+        m = mask[..., None].astype(jnp.float32)
+        return _sum_sq((x.astype(jnp.float32) - tea) * m) / B * 5e-5
+
+    phase = (epoch >= 100).astype(jnp.int32) + (epoch >= 151).astype(jnp.int32)
+    return lax.switch(phase, [phase_early, phase_mid, phase_last], None)
+
+
+def saliency_mgd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
+                      ) -> jax.Array:
+    """Saliency-MGD (reference model/loss.py:335-360): mask the *most* salient
+    tokens (keep lowest attention), regenerate them, mean-MSE × 4."""
+    s = aux_ops.dense(aux["align"], s_feats[-1][:, kd.student_prefix:])
+    t_full = t_feats[-1]
+    x_keep, mask, ids_restore = saliency_masking(
+        aux, t_full, s, kd.saliency_mask_ratio, kd.saliency_method,
+        kd.teacher_prefix)
+    x = _masked_generation(aux, x_keep, ids_restore)
+    tea = t_full[:, kd.teacher_prefix:].astype(jnp.float32)
+    m = mask[..., None].astype(jnp.float32)
+    return _mean_sq((x.astype(jnp.float32) - tea) * m) * 4.0
+
+
+def wasskd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Array:
+    """WassKD (reference model/loss.py:177-227): layers 0-2; 'l1' sorts along
+    the token dim (sliced 1-D Wasserstein), 'sinkhorn' uses the debiased
+    entropic OT divergence per sample."""
+    loss = 0.0
+    for i in range(3):
+        s = aux_ops.dense(aux["align_wasskd"][i], s_feats[i][:, kd.student_prefix:])
+        t = t_feats[i][:, kd.teacher_prefix:]
+        if kd.wasskd_type == "l1":
+            s_sorted = jnp.sort(s.astype(jnp.float32), axis=1)
+            t_sorted = jnp.sort(t.astype(jnp.float32), axis=1)
+            loss += jnp.mean(jnp.abs(s_sorted - t_sorted))
+        elif kd.wasskd_type == "sinkhorn":
+            B, N, _ = s.shape
+            div = batched_sinkhorn_divergence(s, t, n_iters=kd.sinkhorn_iters)
+            loss += jnp.sum(div) / (B * N)
+        else:
+            raise ValueError(f"Invalid wasskd type: {kd.wasskd_type}")
+    return loss / 3.0
+
+
+def mgd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
+             rng: jax.Array) -> jax.Array:
+    """MGD (reference model/loss.py:422-452): random masking + generation on
+    the last block, mean-MSE × mgd_alpha."""
+    s = aux_ops.dense(aux["align"], s_feats[-1][:, kd.student_prefix:])
+    tea = t_feats[-1][:, kd.teacher_prefix:].astype(jnp.float32)
+    x_keep, mask, ids_restore, _ = random_masking(rng, s, kd.mgd_mask_ratio)
+    x = _masked_generation(aux, x_keep, ids_restore)
+    m = mask[..., None].astype(jnp.float32)
+    return _mean_sq((x.astype(jnp.float32) - tea) * m) * kd.mgd_alpha
+
+
+# ----------------------------------------------------------------------------
+# Dispatcher (reference model/loss.py:29-242)
+# ----------------------------------------------------------------------------
+
+def total_loss(kd: KDSettings, *, student_logits: jax.Array,
+               student_dist_logits: Optional[jax.Array],
+               student_feats: Optional[Sequence[jax.Array]],
+               teacher_logits: Optional[jax.Array],
+               teacher_feats: Optional[Sequence[jax.Array]],
+               aux_params: Dict[str, Any], targets: jax.Array,
+               rng: Optional[jax.Array] = None,
+               epoch: Optional[jax.Array] = None,
+               train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Combine base and distillation losses for one batch.
+
+    Teacher activations are computed by the caller (inside the same jit, with
+    gradients naturally absent since they don't depend on trainable params —
+    the functional replacement for the reference's ``torch.no_grad`` teacher
+    pass at loss.py:44-52).
+    """
+    dtype_name = kd.distillation_type.lower()
+    base = base_criterion(kd, student_logits, targets)
+    metrics: Dict[str, jax.Array] = {"base_loss": base}
+
+    if dtype_name == "none":
+        metrics["distill_loss"] = jnp.zeros((), jnp.float32)
+        return base, metrics
+
+    if dtype_name in LOGIT_TYPES:
+        if student_dist_logits is None:
+            raise ValueError(
+                "soft/hard distillation expects a distilled student returning "
+                "(class_token, dist_token) logits — use a deit_*_distilled_* "
+                "student (reference model/loss.py:39-42)")
+        if dtype_name == "soft":
+            distill = soft_kd_loss(student_dist_logits, teacher_logits, kd.tau)
+        else:
+            distill = hard_kd_loss(student_dist_logits, teacher_logits)
+        metrics["distill_loss"] = distill
+        return base * (1.0 - kd.alpha) + distill * kd.alpha, metrics
+
+    if student_feats is None or teacher_feats is None:
+        raise ValueError(f"{dtype_name} requires student and teacher features")
+
+    if dtype_name == "vitkd":
+        distill = vitkd_loss(kd, aux_params, student_feats, teacher_feats, rng)
+        combined = base + distill
+    elif dtype_name == "lrkd":
+        distill = lrkd_loss(kd, aux_params, student_feats, teacher_feats)
+        combined = base * (1.0 - kd.alpha) + distill * kd.alpha
+    elif dtype_name == "diffkd":
+        distill = diffkd_loss(kd, aux_params, student_feats, teacher_feats, rng,
+                              train=train)
+        combined = base * (1.0 - kd.alpha) + distill * kd.alpha
+    elif dtype_name == "curkd":
+        distill = curkd_loss(kd, aux_params, student_feats, teacher_feats, rng,
+                             epoch if epoch is not None else jnp.zeros((), jnp.int32))
+        combined = base + distill
+    elif dtype_name == "saliency_mgd":
+        distill = saliency_mgd_loss(kd, aux_params, student_feats, teacher_feats)
+        combined = base + distill
+    elif dtype_name == "wasskd":
+        distill = wasskd_loss(kd, aux_params, student_feats, teacher_feats)
+        combined = base + distill * 5.0
+    elif dtype_name == "mgd":
+        distill = mgd_loss(kd, aux_params, student_feats, teacher_feats, rng)
+        combined = base + distill
+    else:
+        raise ValueError(f"Invalid distillation type: {kd.distillation_type}")
+
+    metrics["distill_loss"] = distill
+    return combined, metrics

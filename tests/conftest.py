@@ -1,0 +1,18 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+`XLA_FLAGS=--xla_force_host_platform_device_count=8` gives the real
+shard_map/pjit code path without TPU hardware (SURVEY.md §4 point 3); must be
+set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

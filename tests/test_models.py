@@ -1,0 +1,113 @@
+"""Model forward parity against the torch/timm reference architecture,
+plus importer and pos-embed interpolation coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from deltakd_tpu.models import create_model, init_params
+from deltakd_tpu.models.import_timm import timm_to_flax
+from deltakd_tpu.models.pos_embed import interpolate_pos_embed
+
+from tests.torch_ref import TorchViT
+
+IMG = 64  # 4x4 patch grid: fast on CPU, still exercises every code path
+
+
+def _import_from_torch(torch_model, name, num_classes):
+    model = create_model(name, num_classes=num_classes, img_size=IMG,
+                         dtype=jnp.float32)
+    params = init_params(model, jax.random.PRNGKey(0))
+    state = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params, report = timm_to_flax(state, params)
+    return model, params, report
+
+
+@pytest.mark.parametrize("distilled", [False, True])
+def test_forward_parity_with_torch(distilled):
+    torch.manual_seed(0)
+    dim, heads = (384, 6) if distilled else (192, 3)
+    name = ("deit_small_distilled_patch16_224" if distilled
+            else "deit_tiny_patch16_224")
+    tm = TorchViT(img_size=IMG, dim=dim, depth=12, num_heads=heads,
+                  num_classes=100, distilled=distilled).eval()
+    model, params, report = _import_from_torch(tm, name, 100)
+    assert not report["skipped"], report["skipped"]
+
+    x = np.random.RandomState(1).randn(2, IMG, IMG, 3).astype(np.float32)
+    out = model.apply({"params": params}, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        t_cls, t_dist, t_feats = tm.forward_with_features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    if distilled:
+        expected = (t_cls + t_dist) / 2
+        np.testing.assert_allclose(np.asarray(out.logits_dist), t_dist.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+    else:
+        expected = t_cls
+        assert out.logits_dist is None
+    np.testing.assert_allclose(np.asarray(out.logits), expected.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+    # per-block MLP intermediates == the reference's forward-hook captures
+    assert len(out.features) == 12
+    for ours, theirs in zip(out.features, t_feats):
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_distilled_training_returns_tuple():
+    model = create_model("deit_tiny_distilled_patch16_224", num_classes=10,
+                         img_size=IMG, dtype=jnp.float32)
+    params = init_params(model, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, IMG, IMG, 3))
+    out_train = model.apply({"params": params}, x, train=True,
+                            distilled_training=True)
+    out_eval = model.apply({"params": params}, x, train=False)
+    # distilled-training: logits is the raw cls head; eval: head average
+    np.testing.assert_allclose(
+        np.asarray(out_eval.logits),
+        np.asarray((out_train.logits + out_train.logits_dist) / 2), atol=1e-6)
+
+
+def test_head_mismatch_keeps_fresh_init():
+    """num_classes mismatch → head stays at target init (timm semantics,
+    reference model/models.py:60-63)."""
+    torch.manual_seed(0)
+    tm = TorchViT(img_size=IMG, dim=192, depth=12, num_heads=3,
+                  num_classes=1000).eval()
+    model, params, report = _import_from_torch(tm, "deit_tiny_patch16_224", 100)
+    assert any("head" in s for s in report["skipped"])
+    assert params["head"]["kernel"].shape == (192, 100)
+    # backbone still imported
+    np.testing.assert_allclose(
+        np.asarray(params["blocks_0"]["attn"]["qkv"]["kernel"]),
+        tm.blocks[0].attn.qkv.weight.detach().numpy().T, atol=1e-6)
+
+
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    """Our pos-embed resize == the reference's F.interpolate bicubic
+    (reference tools/utils.py:146-158)."""
+    rng = np.random.RandomState(0)
+    old_grid, new_grid, dim, prefix = 14, 4, 32, 2
+    pe = rng.randn(1, prefix + old_grid ** 2, dim).astype(np.float32)
+
+    ours = interpolate_pos_embed(jnp.asarray(pe), prefix, new_grid ** 2)
+
+    pos_tokens = torch.from_numpy(pe[:, prefix:])
+    pos_tokens = pos_tokens.reshape(1, old_grid, old_grid, dim).permute(0, 3, 1, 2)
+    pos_tokens = torch.nn.functional.interpolate(
+        pos_tokens, size=(new_grid, new_grid), mode="bicubic", align_corners=False)
+    pos_tokens = pos_tokens.permute(0, 2, 3, 1).flatten(1, 2)
+    expected = np.concatenate([pe[:, :prefix], pos_tokens.numpy()], axis=1)
+
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5, rtol=1e-4)
+
+
+def test_pos_embed_same_size_identity():
+    pe = jnp.ones((1, 18, 8))
+    out = interpolate_pos_embed(pe, 2, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
