@@ -1,0 +1,184 @@
+"""Dataset sources: raw uint8 images + labels, indexable for sharded sampling.
+
+Counterpart of the reference's torchvision-backed ``DatasetBuilder.build_dataset``
+(reference dataset/datasets.py:86-124) for an air-gapped TPU host: CIFAR reads
+the standard python-pickle archives from disk, everything else (imagenet,
+flowers, caltech256, stanford_cars) reads an ImageFolder-style directory tree
+via PIL with a thread pool, and ``synthetic`` generates deterministic data for
+benchmarks/smoke tests. Sources return *raw* pixels — all augmentation happens
+on device (see data/augment.py).
+
+Folder images are standardized on the host to a fixed raw canvas
+(shorter-side resize to ``raw_size`` + center crop) so batches have static
+shapes; the on-device RandomResizedCrop then samples from that canvas. This is
+the one host-side resample (the standard TPU input-pipeline trade; noted vs the
+reference which crops the original).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from deltakd_tpu.data.registry import DATASET_STATS
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm")
+
+
+class ArraySource:
+    """In-memory uint8 images [N, H, W, 3] + int labels [N]."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, num_classes: int):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = np.asarray(labels, np.int32)
+        self.num_classes = num_classes
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def raw_hw(self) -> Tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+    def get_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        return self.images[indices], self.labels[indices]
+
+
+def synthetic_source(n: int = 2048, hw: int = 32, num_classes: int = 100,
+                     seed: int = 0) -> ArraySource:
+    g = np.random.default_rng(seed)
+    images = g.integers(0, 256, (n, hw, hw, 3), dtype=np.uint8)
+    labels = g.integers(0, num_classes, (n,), dtype=np.int32)
+    return ArraySource(images, labels, num_classes)
+
+
+def _load_cifar_pickles(paths: Sequence[str], label_key: str
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    xs, ys = [], []
+    for p in paths:
+        with open(p, "rb") as f:
+            d = pickle.load(f, encoding="latin1")
+        xs.append(np.asarray(d["data"], np.uint8))
+        ys.append(np.asarray(d[label_key], np.int32))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(x), np.concatenate(ys)
+
+
+def cifar_source(root: str, dataset: str, is_train: bool) -> ArraySource:
+    """Read the standard CIFAR python archives (same files torchvision
+    downloads: cifar-100-python/, cifar-10-batches-py/, or their .tar.gz)."""
+    if dataset == "cifar-100":
+        subdir, label_key = "cifar-100-python", "fine_labels"
+        files = ["train"] if is_train else ["test"]
+    else:
+        subdir, label_key = "cifar-10-batches-py", "labels"
+        files = ([f"data_batch_{i}" for i in range(1, 6)] if is_train
+                 else ["test_batch"])
+    base = os.path.join(root, subdir)
+    if not os.path.isdir(base):
+        tar = base + ".tar.gz" if os.path.exists(base + ".tar.gz") else os.path.join(
+            root, {"cifar-100": "cifar-100-python.tar.gz",
+                   "cifar-10": "cifar-10-python.tar.gz"}[dataset])
+        if os.path.exists(tar):
+            with tarfile.open(tar) as tf:
+                tf.extractall(root)
+        else:
+            raise FileNotFoundError(
+                f"CIFAR archive not found under {root} (expected {subdir}/ or "
+                f"its .tar.gz — place the standard archive there; this host "
+                f"has no network access)")
+    x, y = _load_cifar_pickles([os.path.join(base, f) for f in files], label_key)
+    return ArraySource(x, y, DATASET_STATS[dataset]["num_classes"])
+
+
+class FolderSource:
+    """ImageFolder-style tree: <root>/<class_name>/<image files>.
+
+    Decodes lazily with a thread pool; each image is standardized to a fixed
+    ``raw_size`` square canvas (shorter-side resize + center crop, bilinear).
+    """
+
+    def __init__(self, root: str, raw_size: int = 256, num_workers: int = 8):
+        from PIL import Image  # noqa: F401  (fail early if PIL missing)
+
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise FileNotFoundError(f"No class directories under {root}")
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fname),
+                                         self.class_to_idx[c]))
+        self.num_classes = len(classes)
+        self.raw_size = raw_size
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def raw_hw(self) -> Tuple[int, int]:
+        return self.raw_size, self.raw_size
+
+    def _load_one(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        path, _ = self.samples[idx]
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            s = self.raw_size / min(w, h)
+            im = im.resize((max(1, round(w * s)), max(1, round(h * s))),
+                           Image.BILINEAR)
+            w, h = im.size
+            left = (w - self.raw_size) // 2
+            top = (h - self.raw_size) // 2
+            im = im.crop((left, top, left + self.raw_size, top + self.raw_size))
+            return np.asarray(im, np.uint8)
+
+    def get_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        images = np.stack(list(self._pool.map(self._load_one, indices)))
+        labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
+        return images, labels
+
+
+def build_source(cfg, is_train: bool):
+    """Dataset-name dispatch (reference dataset/datasets.py:86-124)."""
+    name = cfg.dataset
+    if name == "synthetic" or cfg.synthetic_data:
+        num_classes = DATASET_STATS.get(name, DATASET_STATS["synthetic"])["num_classes"]
+        hw = 32 if cfg.input_size <= 64 else cfg.input_size
+        return synthetic_source(n=2048 if is_train else 512, hw=hw,
+                                num_classes=num_classes, seed=0 if is_train else 1)
+    if name.startswith("cifar"):
+        return cifar_source(cfg.data_path, name, is_train)
+    # ImageFolder-style datasets: imagenet-1k/21k use <root>/{train,val};
+    # flowers/caltech256/stanford_cars accept either <root>/<dataset>/{train,val}
+    # or a flat class tree.
+    split = "train" if is_train else "val"
+    candidates = [
+        os.path.join(cfg.data_path, split),
+        os.path.join(cfg.data_path, name, split),
+        os.path.join(cfg.data_path, name),
+        cfg.data_path,
+    ]
+    for c in candidates:
+        if os.path.isdir(c) and any(
+                os.path.isdir(os.path.join(c, d)) for d in os.listdir(c)):
+            try:
+                return FolderSource(c, num_workers=cfg.num_workers)
+            except FileNotFoundError:
+                continue
+    raise FileNotFoundError(
+        f"Could not locate dataset '{name}' under {cfg.data_path} "
+        f"(tried {candidates})")
