@@ -1,0 +1,90 @@
+"""Headline benchmark: images/sec/chip for the full DeiT-Tiny KD train step.
+
+Measures the production hot path end-to-end on one chip — on-device
+augmentation + mixup, frozen DeiT-Small-distilled teacher forward, DeiT-Tiny
+student forward/backward, AdamW update — i.e. the same three transformer
+passes per step as the reference's measured workload (SURVEY.md §3.2,
+BASELINE.md north star).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so R is
+measured against an estimated A100 DDP throughput for the same workload
+(DeiT-Tiny soft-KD step, bs 256, AMP): ~2500 img/s/GPU. R > 1 beats that
+estimate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_DDP_ESTIMATE_IMG_PER_SEC = 2500.0
+
+
+def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
+         distillation_type: str = "soft"):
+    from deltakd_tpu.configs import TrainConfig
+    from deltakd_tpu.data.augment import AugmentConfig
+    from deltakd_tpu.data.mixup import MixupConfig
+    from deltakd_tpu.kd import KDSettings, init_aux_params
+    from deltakd_tpu.models import create_model, init_params
+    from deltakd_tpu.train.optim import make_optimizer
+    from deltakd_tpu.train.state import TrainState
+    from deltakd_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
+                      dataset="cifar-100", input_size=224, dtype="bfloat16",
+                      drop_path_rate=0.1, epochs=300)
+    rng = jax.random.PRNGKey(0)
+    student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
+                           img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16)
+    teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
+                           img_size=224, dtype=jnp.bfloat16)
+    s_params = init_params(student, jax.random.PRNGKey(1))
+    t_params = init_params(teacher, jax.random.PRNGKey(2))
+    aux = init_aux_params(jax.random.PRNGKey(3), distillation_type,
+                          student.cfg.embed_dim, teacher.cfg.embed_dim)
+
+    kd = KDSettings.from_config(cfg, student_prefix=2, teacher_prefix=2)
+    tx = make_optimizer(cfg, {"student": s_params, "aux": aux}, 100)
+    state = TrainState.create(student_params=s_params, aux_params=aux, tx=tx)
+    step = build_train_step(cfg=cfg, kd=kd, student_module=student,
+                            teacher_module=teacher,
+                            aug=AugmentConfig.from_config(cfg),
+                            mixup=MixupConfig.from_config(cfg, 100), tx=tx)
+
+    host_rng = np.random.RandomState(0)
+    images = jnp.asarray(host_rng.randint(0, 256, (batch_size, 32, 32, 3),
+                                          dtype=np.uint8))
+    labels = jnp.asarray(host_rng.randint(0, 100, (batch_size,), dtype=np.int32))
+    key = jax.random.PRNGKey(4)
+    epoch = jnp.asarray(0, jnp.int32)
+
+    for _ in range(warmup):
+        state, metrics = step(state, t_params, images, labels, key, epoch)
+    float(metrics["train_loss"])  # host fetch = reliable sync (tunnel-safe)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, t_params, images, labels, key, epoch)
+    float(metrics["train_loss"])
+    elapsed = time.perf_counter() - t0
+
+    img_per_sec = batch_size * steps / elapsed
+    n_chips = len(jax.devices())
+    per_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "deit_tiny_kd_train_step_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / A100_DDP_ESTIMATE_IMG_PER_SEC, 3),
+    }))
+    return per_chip
+
+
+if __name__ == "__main__":
+    main()

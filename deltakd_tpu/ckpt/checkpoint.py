@@ -1,0 +1,134 @@
+"""Checkpoint / resume / finetune.
+
+Reference semantics reproduced (reference tools/utils.py:90-160,
+tools/train.py:270-286, 349-357): a full training checkpoint holds
+{epoch, params(+aux), optimizer, EMA} and is rewritten every epoch with a
+``.best`` copy on a new best validation accuracy; ``--resume`` restores
+everything, ``--finetune`` loads backbone weights only — dropping
+shape-mismatched classifier heads and bicubically interpolating the patch
+position embeddings onto the new grid.
+
+Storage is orbax (async-capable, sharded-array aware) with a JSON sidecar for
+scalars. Finetune sources can be either our own orbax checkpoints or raw
+timm/torch state_dicts (via the importer), so reference-world checkpoints
+migrate directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+import orbax.checkpoint as ocp
+
+from deltakd_tpu.models.pos_embed import interpolate_pos_embed
+
+_STATE_DIR = "state"
+_BEST_SUFFIX = ".best"
+_META = "meta.json"
+
+
+def _ckptr() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(save_dir: str, state, *, epoch: int, best_acc: float,
+                    is_best: bool) -> None:
+    """Write save_dir/state (+ meta.json); copy to save_dir.best on new best
+    (reference utils.py:90-93)."""
+    save_dir = os.path.abspath(save_dir)
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, _STATE_DIR)
+    ckptr = _ckptr()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(save_dir, _META), "w") as f:
+        json.dump({"epoch": epoch, "best_acc": best_acc}, f)
+    if is_best:
+        best_dir = save_dir + _BEST_SUFFIX
+        if os.path.isdir(best_dir):
+            shutil.rmtree(best_dir)
+        shutil.copytree(save_dir, best_dir)
+
+
+def load_checkpoint(save_dir: str, target_state) -> Tuple[Any, int, float]:
+    """Restore (state, next_epoch, best_acc) for --resume
+    (reference train.py:274-280)."""
+    save_dir = os.path.abspath(save_dir)
+    path = os.path.join(save_dir, _STATE_DIR)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"Checkpoint not found: {path}")
+    state = _ckptr().restore(path, target_state)
+    with open(os.path.join(save_dir, _META)) as f:
+        meta = json.load(f)
+    return state, int(meta["epoch"]), float(meta.get("best_acc", 0.0))
+
+
+def _merge_for_finetune(source: Dict[str, Any], target: Dict[str, Any],
+                        num_prefix_tokens: int, log=print) -> Dict[str, Any]:
+    """Copy matching leaves; drop mismatched heads; interpolate pos_embed
+    (reference tools/utils.py:112-160)."""
+    import copy
+
+    out = copy.deepcopy(target)
+
+    def visit(src, dst, path=""):
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict):
+                visit(v, dst[k], f"{path}{k}/")
+            else:
+                tgt_leaf = dst[k]
+                if k == "pos_embed" or path + k == "pos_embed":
+                    new_patches = tgt_leaf.shape[1] - num_prefix_tokens
+                    v = interpolate_pos_embed(jnp.asarray(v), num_prefix_tokens,
+                                              new_patches)
+                if tuple(v.shape) != tuple(jnp.asarray(tgt_leaf).shape):
+                    log(f"[finetune] dropping {path}{k}: "
+                        f"{tuple(v.shape)} vs {tuple(tgt_leaf.shape)}")
+                    continue
+                dst[k] = jnp.asarray(v, jnp.asarray(tgt_leaf).dtype)
+
+    visit(source, out)
+    return out
+
+
+def load_student_for_finetune(checkpoint: str, target_student_params,
+                              *, num_prefix_tokens: int, log=print
+                              ) -> Dict[str, Any]:
+    """Load student backbone weights from either an orbax checkpoint dir
+    (ours) or a torch/timm state_dict file (reference-world)."""
+    if os.path.isdir(checkpoint):
+        # our layout: <dir>/state holds a TrainState pytree; accept the dir,
+        # its parent, or a bare params tree
+        for candidate in (os.path.join(checkpoint, _STATE_DIR), checkpoint):
+            if os.path.isdir(candidate) and os.listdir(candidate):
+                try:
+                    restored = _ckptr().restore(candidate)
+                    break
+                except Exception:
+                    continue
+        else:
+            raise FileNotFoundError(f"No restorable checkpoint under {checkpoint}")
+        params = restored
+        for key in ("params", "student"):
+            if isinstance(params, dict) and key in params:
+                params = params[key]
+        if not isinstance(params, dict):
+            raise ValueError(f"Unrecognized checkpoint structure in {checkpoint}")
+        return _merge_for_finetune(params, target_student_params,
+                                   num_prefix_tokens, log)
+    # torch/timm state_dict file
+    from deltakd_tpu.models.import_timm import load_state_dict, timm_to_flax
+
+    state = load_state_dict(checkpoint)
+    params, report = timm_to_flax(state, target_student_params)
+    if report["skipped"]:
+        log(f"[finetune] reinitialized (shape mismatch): {report['skipped']}")
+    return params

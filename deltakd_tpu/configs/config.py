@@ -264,7 +264,10 @@ def parse_args(argv=None) -> TrainConfig:
     parser = argparse.ArgumentParser(
         description="TPU-native ViT knowledge-distillation training")
     add_train_args(parser)
-    ns = parser.parse_args(argv)
+    return config_from_namespace(parser.parse_args(argv))
+
+
+def config_from_namespace(ns: argparse.Namespace) -> TrainConfig:
     fields = {f.name for f in dataclasses.fields(TrainConfig)}
     kw = {k: v for k, v in vars(ns).items() if k in fields}
     for tup_field in ("opt_betas", "lr_noise", "cutmix_minmax", "mesh_shape"):

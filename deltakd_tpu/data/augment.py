@@ -4,16 +4,31 @@ The reference does all augmentation on the host with PIL/torchvision inside
 DataLoader workers (reference dataset/datasets.py:53-84, tools/augment.py) —
 on TPU that host work becomes the bottleneck (SURVEY.md hard part #6). Here
 the host ships raw uint8 batches and the *entire* train transform runs inside
-the jitted step: RandomResizedCrop + horizontal flip as a single batched
-affine warp, the full 15-op RandAugment policy (``rand-m9-mstd0.5-inc1``
-semantics, timm's increasing-severity op set), DeiT-III 3-Augment, color
-jitter, normalization and random erasing. Everything is static-shaped and
-keyed by explicit PRNG.
+the jitted step.
+
+Performance architecture (what makes this TPU-fast):
+
+* **One resample total.** RandomResizedCrop, horizontal flip and every
+  *geometric* RandAugment op (rotate / shear / translate) are affine, so their
+  per-sample 3×3 matrices compose into a single batched bilinear warp — one
+  `take_along_axis` gather instead of a resample per op.
+* **Pixel ops run batched, not per-image.** All color/histogram ops operate on
+  the full [B,H,W,C] tensor with per-sample parameter vectors; a per-image
+  `vmap(lax.switch)` would execute every branch for the whole batch.
+* **Only selected ops execute.** Each pixel op is wrapped in a scalar
+  `lax.cond` on "did any image pick this op this layer" — with 2 RandAugment
+  layers only ~2 of the 15 op kernels actually run per step.
+* **No giant one-hots / scatters.** Equalize's histogram comes from
+  sort + searchsorted (50k-element sorts per channel), not a [HW,256] one-hot.
 
 Op semantics follow PIL/timm (posterize bit masks, solarize thresholds,
-PIL-style equalize LUT, blend-based color/contrast/brightness/sharpness).
-Geometric resampling is bilinear (PIL uses per-op defaults; the difference is
-sub-quantization-level for training purposes and documented here).
+PIL-style equalize LUT, blend-based color/contrast/brightness/sharpness;
+the ``rand-m9-mstd0.5-inc1`` increasing-severity magnitude mappings).
+Known deviations, accepted for the single-warp design and documented here:
+geometric RA ops are composed with the crop instead of resampling the cropped
+image (sub-pixel differences), resampling is bilinear (PIL mixes per-op
+defaults), and when one image draws two pixel ops they apply in op-table
+order rather than draw order.
 
 Images flow as float32 in [0, 255] until the final normalize.
 """
@@ -22,81 +37,143 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Sequence, Tuple
+from functools import partial
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+_GRAY = np.array([0.299, 0.587, 0.114], np.float32)
 
 # -----------------------------------------------------------------------------
-# Affine warps
+# Affine machinery
 # -----------------------------------------------------------------------------
 
 
-def _affine_grid(matrix: jax.Array, out_h: int, out_w: int) -> Tuple[jax.Array, jax.Array]:
-    """Map output pixel centers through a 2x3 matrix → source (y, x) coords."""
+def _eye23() -> jax.Array:
+    return jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+def _to3(m: jax.Array) -> jax.Array:
+    """[...,2,3] → [...,3,3] homogeneous."""
+    pad = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), m.shape[:-2] + (1, 3))
+    return jnp.concatenate([m, pad], axis=-2)
+
+
+def compose(outer: jax.Array, inner: jax.Array) -> jax.Array:
+    """Source-lookup composition: result(p) = outer(inner(p)) reads the source
+    through ``outer`` after mapping output coords through ``inner``."""
+    return (_to3(outer) @ _to3(inner))[..., :2, :]
+
+
+def crop_matrix(top, left, crop_h, crop_w, out_h: int, out_w: int) -> jax.Array:
+    """Output pixel → source pixel map for crop-and-resize (scalars or [B])."""
+    top, left, crop_h, crop_w = map(jnp.asarray, (top, left, crop_h, crop_w))
+    sy = crop_h / out_h
+    sx = crop_w / out_w
+    z = jnp.zeros_like(sy)
+    row0 = jnp.stack([sy, z, top + 0.5 * sy - 0.5], axis=-1)
+    row1 = jnp.stack([z, sx, left + 0.5 * sx - 0.5], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def hflip_matrix(out_w: int) -> jax.Array:
+    return jnp.asarray([[1.0, 0.0, 0.0], [0.0, -1.0, float(out_w - 1)]])
+
+
+def warp_bilinear_batch(imgs: jax.Array, mats: jax.Array, out_h: int,
+                        out_w: int, fill: Optional[jax.Array] = None
+                        ) -> jax.Array:
+    """Batched affine sampling: [B,H,W,C] × [B,2,3] → [B,out_h,out_w,C].
+
+    One flattened ``take_along_axis`` per bilinear corner — the only gather in
+    the whole train transform."""
+    B, H, W, C = imgs.shape
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    sy = matrix[0, 0] * yy + matrix[0, 1] * xx + matrix[0, 2]
-    sx = matrix[1, 0] * yy + matrix[1, 1] * xx + matrix[1, 2]
-    return sy, sx
+    grid = jnp.stack([yy, xx, jnp.ones_like(yy)])              # [3,oh,ow]
+    coords = jnp.einsum("bij,jhw->bihw", mats, grid)           # [B,2,oh,ow]
+    sy, sx = coords[:, 0], coords[:, 1]
 
-
-def warp_bilinear(img: jax.Array, matrix: jax.Array, out_h: int, out_w: int,
-                  fill: Optional[jax.Array] = None) -> jax.Array:
-    """Sample one [H, W, C] image through an affine map, bilinear with
-    out-of-bounds fill. Compiles to four gathers + blends."""
-    H, W, C = img.shape
-    sy, sx = _affine_grid(matrix, out_h, out_w)
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
-    wy = sy - y0
-    wx = sx - x0
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+
+    flat = imgs.reshape(B, H * W, C)
 
     def gather(yi, xi):
         yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        return img[yc, xc]  # [out_h, out_w, C]
+        idx = (yc * W + xc).reshape(B, out_h * out_w)
+        got = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return got.reshape(B, out_h, out_w, C)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    wy = wy[..., None]
-    wx = wx[..., None]
-    out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
-           + wy * ((1 - wx) * v10 + wx * v11))
+    out = ((1 - wy) * ((1 - wx) * gather(y0, x0) + wx * gather(y0, x0 + 1))
+           + wy * ((1 - wx) * gather(y0 + 1, x0) + wx * gather(y0 + 1, x0 + 1)))
     if fill is not None:
         oob = ((sy < -0.5) | (sy > H - 0.5) | (sx < -0.5) | (sx > W - 0.5))
         out = jnp.where(oob[..., None], fill, out)
     return out
 
 
-def _compose(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Compose two 2x3 affine maps: result(x) = a(b(x))... in source-lookup
-    convention result = b ∘ a (apply a's lookup, then b's)."""
-    a3 = jnp.concatenate([a, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
-    b3 = jnp.concatenate([b, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
-    return (b3 @ a3)[:2]
+def warp_bilinear(img: jax.Array, matrix: jax.Array, out_h: int, out_w: int,
+                  fill: Optional[jax.Array] = None) -> jax.Array:
+    """Single-image convenience wrapper (tests / reference parity)."""
+    return warp_bilinear_batch(img[None], matrix[None], out_h, out_w, fill)[0]
 
 
-def crop_matrix(top: jax.Array, left: jax.Array, crop_h: jax.Array,
-                crop_w: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Output pixel → source pixel map for crop-and-resize."""
-    sy = crop_h / out_h
-    sx = crop_w / out_w
-    return jnp.stack([
-        jnp.stack([sy, jnp.zeros(()), top + 0.5 * sy - 0.5]),
-        jnp.stack([jnp.zeros(()), sx, left + 0.5 * sx - 0.5]),
-    ])
+def _interp_matrix(coord: jax.Array, in_size: int) -> jax.Array:
+    """[B, out] fractional source coords → [B, out, in] bilinear row weights
+    (edge-clamped). Dense on purpose: the resample becomes an MXU matmul."""
+    c = jnp.clip(coord, 0.0, in_size - 1.0)
+    grid = jnp.arange(in_size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - grid))
 
 
-def hflip_matrix(out_w: int) -> jax.Array:
-    return jnp.array([[1.0, 0.0, 0.0], [0.0, -1.0, float(out_w - 1)]])
+def resample_separable(imgs: jax.Array, mats: jax.Array, out_h: int,
+                       out_w: int, fill: Optional[jax.Array] = None
+                       ) -> jax.Array:
+    """Axis-aligned batched warp as two matmuls (TPU fast path).
+
+    ``mats`` [B,2,3] must have zero off-diagonal linear terms (crop / flip /
+    translate compositions do). A gather-based warp of a 32→224 upscale costs
+    ~600 ms/batch on v5e because the C=3 lane dim starves the VPU; expressing
+    bilinear interpolation as per-sample [out,in] weight matrices turns the
+    whole resample into two MXU matmuls (~1 ms)."""
+    B, H, W, C = imgs.shape
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = mats[:, 0, 0:1] * ys[None, :] + mats[:, 0, 2:3]   # [B, out_h]
+    sx = mats[:, 1, 1:2] * xs[None, :] + mats[:, 1, 2:3]   # [B, out_w]
+    ry = _interp_matrix(sy, H)  # [B, out_h, H]
+    rx = _interp_matrix(sx, W)  # [B, out_w, W]
+    t = jnp.einsum("boh,bhwc->bowc", ry, imgs)
+    out = jnp.einsum("bpw,bowc->bopc", rx, t)
+    if fill is not None:
+        oob_y = (sy < -0.5) | (sy > H - 0.5)
+        oob_x = (sx < -0.5) | (sx > W - 0.5)
+        oob = oob_y[:, :, None] | oob_x[:, None, :]
+        out = jnp.where(oob[..., None], fill, out)
+    return out
+
+
+def _invert_axis_aligned(mats: jax.Array) -> jax.Array:
+    """Inverse of an axis-aligned [B,2,3] affine."""
+    ay = mats[:, 0, 0]
+    ax = mats[:, 1, 1]
+    by = mats[:, 0, 2]
+    bx = mats[:, 1, 2]
+    z = jnp.zeros_like(ay)
+    row0 = jnp.stack([1.0 / ay, z, -by / ay], axis=-1)
+    row1 = jnp.stack([z, 1.0 / ax, -bx / ax], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
 
 
 # -----------------------------------------------------------------------------
-# RandomResizedCrop (+flip), the primary DeiT transform
+# RandomResizedCrop parameter sampling
 # -----------------------------------------------------------------------------
 
 
@@ -104,7 +181,7 @@ def random_resized_crop_params(key: jax.Array, h: int, w: int,
                                scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
     """torchvision RandomResizedCrop sampling (10 tries collapsed into a
     vectorized accept-first; falls back to center crop like torchvision)."""
-    k_area, k_ratio, k_top, k_left, k_pick = jax.random.split(key, 5)
+    k_area, k_ratio, k_top, k_left = jax.random.split(key, 4)
     n_try = 10
     area = h * w
     target_area = area * jax.random.uniform(k_area, (n_try,), minval=scale[0],
@@ -126,8 +203,8 @@ def random_resized_crop_params(key: jax.Array, h: int, w: int,
 
     # fallback: center crop at clamped aspect (torchvision semantics)
     in_ratio = w / h
-    fb_w = jnp.where(in_ratio < ratio[0], w, jnp.where(in_ratio > ratio[1],
-                                                       round(h * ratio[1]), w))
+    fb_w = jnp.where(in_ratio < ratio[0], w,
+                     jnp.where(in_ratio > ratio[1], round(h * ratio[1]), w))
     fb_h = jnp.where(in_ratio < ratio[0], round(w / ratio[0]),
                      jnp.where(in_ratio > ratio[1], h, h))
     fb_top = (h - fb_h) // 2
@@ -141,180 +218,236 @@ def random_resized_crop_params(key: jax.Array, h: int, w: int,
 
 
 # -----------------------------------------------------------------------------
-# Pixel ops (PIL semantics on float [0,255])
+# Pixel ops — batched over [..., H, W, C], per-sample magnitude m broadcastable
 # -----------------------------------------------------------------------------
-
-_GRAY = jnp.array([0.299, 0.587, 0.114])
 
 
 def _clip(x):
     return jnp.clip(x, 0.0, 255.0)
 
 
+def _bcast(v, img):
+    """[B] (or scalar) → broadcastable against [..., H, W, C]."""
+    v = jnp.asarray(v)
+    if v.ndim == 0:
+        return v
+    return v.reshape(v.shape + (1,) * (img.ndim - v.ndim))
+
+
 def _blend(a, b, factor):
     return _clip(b + factor * (a - b))
 
 
-def op_invert(img, _m, _key, _fill):
+def op_invert(img, m, key, fill):
     return 255.0 - img
 
 
-def op_solarize(img, m, _key, _fill):
-    thresh = 256.0 - m / 10.0 * 256.0  # SolarizeIncreasing
+def op_solarize(img, m, key, fill):
+    thresh = _bcast(256.0 - jnp.asarray(m) / 10.0 * 256.0, img)  # SolarizeIncreasing
     return jnp.where(img < thresh, img, 255.0 - img)
 
 
-def op_solarize_add(img, m, _key, _fill):
-    add = m / 10.0 * 110.0
+def op_solarize_add(img, m, key, fill):
+    add = _bcast(jnp.asarray(m) / 10.0 * 110.0, img)
     return jnp.where(img < 128.0, _clip(img + add), img)
 
 
-def op_posterize(img, m, _key, _fill):
-    bits = jnp.maximum(4 - jnp.floor(m / 10.0 * 4.0), 1.0)  # PosterizeIncreasing
-    shift = (8.0 - bits)
-    q = jnp.exp2(shift)
+def op_posterize(img, m, key, fill):
+    bits = jnp.maximum(4 - jnp.floor(jnp.asarray(m) / 10.0 * 4.0), 1.0)  # Increasing
+    q = _bcast(jnp.exp2(8.0 - bits), img)
     return jnp.floor(jnp.floor(img) / q) * q
 
 
-def op_autocontrast(img, _m, _key, _fill):
-    lo = jnp.min(img, axis=(0, 1), keepdims=True)
-    hi = jnp.max(img, axis=(0, 1), keepdims=True)
+def op_autocontrast(img, m, key, fill):
+    lo = jnp.min(img, axis=(-3, -2), keepdims=True)
+    hi = jnp.max(img, axis=(-3, -2), keepdims=True)
     scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
     out = (img - lo) * scale
     return jnp.where(hi > lo, _clip(out), img)
 
 
-def op_equalize(img, _m, _key, _fill):
-    """PIL ImageOps.equalize: per-channel LUT from the cumulative histogram."""
-    v = jnp.clip(jnp.floor(img), 0, 255).astype(jnp.int32)  # [H,W,C]
-    npix = img.shape[0] * img.shape[1]
-    one_hot = jax.nn.one_hot(v.reshape(-1, img.shape[2]), 256, dtype=jnp.float32)
-    hist = jnp.sum(one_hot, axis=0)  # [C, 256]
-    last_nonzero = jnp.take_along_axis(
-        hist, (255 - jnp.argmax(hist[:, ::-1] > 0, axis=1))[:, None], axis=1)[:, 0]
-    step = jnp.floor((npix - last_nonzero) / 255.0)
-    cum_before = jnp.cumsum(hist, axis=1) - hist
-    lut = jnp.floor((step[:, None] / 2.0 + cum_before) / jnp.maximum(step[:, None], 1.0))
+def op_equalize(img, m, key, fill):
+    """PIL ImageOps.equalize: per-channel LUT from the cumulative histogram.
+
+    The histogram is a radix one-hot matmul: split each byte value into two
+    4-bit digits, then hist[hi, lo] = OneHotHi^T @ OneHotLo — one MXU matmul
+    with exact integer counts (fp32 accumulation). A 38M-element ``jnp.sort``
+    here costs ~700 ms/batch on v5e; this runs in a few ms."""
+    squeeze = img.ndim == 3
+    x = img[None] if squeeze else img
+    B, H, W, C = x.shape
+    npix = H * W
+    v = jnp.clip(jnp.floor(x), 0, 255).astype(jnp.int32)
+    flat = v.transpose(0, 3, 1, 2).reshape(B * C, npix)
+    hi = flat // 16
+    lo = flat % 16
+    oh_hi = jax.nn.one_hot(hi, 16, dtype=jnp.bfloat16)  # [BC, HW, 16]
+    oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.bfloat16)
+    hist = jnp.einsum("phk,phl->pkl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)  # [BC, 16, 16]
+    hist = hist.reshape(B, C, 256)
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    # highest occupied bin's count (PIL drops it from the step computation)
+    occupied = hist > 0
+    last_val = 255 - jnp.argmax(occupied[..., ::-1], axis=-1)  # [B,C]
+    last_count = jnp.take_along_axis(hist, last_val[..., None], axis=-1)[..., 0]
+    step = jnp.floor((npix - last_count) / 255.0)  # [B,C]
+    cum_before = cdf - hist
+    lut = jnp.floor((step[..., None] / 2.0 + cum_before)
+                    / jnp.maximum(step[..., None], 1.0))
     lut = jnp.clip(lut, 0, 255)
-    mapped = jnp.stack([lut[c][v[..., c]] for c in range(img.shape[2])], axis=-1)
-    return jnp.where(step[None, None, :] > 0, mapped, img)
+    # Apply the LUT through the same radix one-hots (two matmuls, exact for
+    # integer LUT values ≤ 255 in bf16) — a take_along_axis gather here costs
+    # ~480 ms/batch on v5e.
+    lut2d = lut.reshape(B * C, 16, 16).astype(jnp.bfloat16)
+    w_lo = jnp.einsum("phk,pkl->phl", oh_hi, lut2d,
+                      preferred_element_type=jnp.float32)  # [BC, HW, 16]
+    mapped = jnp.einsum("phl,phl->ph", oh_lo.astype(jnp.float32), w_lo)
+    mapped = mapped.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    out = jnp.where(step[:, None, None, :] > 0, mapped, x)
+    return out[0] if squeeze else out
 
 
-def op_color(img, m, key, _fill):
-    factor = _enhance_factor(m, key)
+def _enhance_factor(m, key, batch_shape=()):
+    """timm 'increasing' enhance arg: 1 + 0.9·(m/10) with random sign."""
+    sign = jnp.where(jax.random.bernoulli(key, 0.5, batch_shape), 1.0, -1.0)
+    return 1.0 + sign * (jnp.asarray(m) / 10.0) * 0.9
+
+
+def op_color(img, m, key, fill):
+    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
     gray = jnp.sum(img * _GRAY, axis=-1, keepdims=True)
     return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
 
 
-def op_contrast(img, m, key, _fill):
-    factor = _enhance_factor(m, key)
-    # PIL: blend with the mean of the L-converted image (rounded)
+def op_contrast(img, m, key, fill):
+    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
     gray = jnp.sum(img * _GRAY, axis=-1)
-    mean = jnp.round(jnp.mean(jnp.floor(gray)))
-    return _blend(img, jnp.full_like(img, mean), factor)
+    mean = jnp.round(jnp.mean(jnp.floor(gray), axis=(-2, -1)))  # [B] or scalar
+    return _blend(img, jnp.broadcast_to(_bcast(mean, img), img.shape), factor)
 
 
-def op_brightness(img, m, key, _fill):
-    factor = _enhance_factor(m, key)
+def op_brightness(img, m, key, fill):
+    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
     return _blend(img, jnp.zeros_like(img), factor)
 
 
-def op_sharpness(img, m, key, _fill):
-    factor = _enhance_factor(m, key)
-    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
-    smoothed = jax.lax.conv_general_dilated(
-        img.transpose(2, 0, 1)[:, None], kernel[None, None],
-        window_strides=(1, 1), padding="SAME")[:, 0].transpose(1, 2, 0)
-    # PIL keeps the 1-pixel border unsmoothed
-    H, W, _ = img.shape
+def _depthwise_3x3(x: jax.Array, kernel9: np.ndarray) -> jax.Array:
+    """[B,H,W,C] depthwise 3×3 conv, one fused conv for the whole batch."""
+    C = x.shape[-1]
+    k = jnp.asarray(kernel9, jnp.float32).reshape(3, 3, 1, 1)
+    k = jnp.tile(k, (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)
+
+
+def op_sharpness(img, m, key, fill):
+    squeeze = img.ndim == 3
+    x = img[None] if squeeze else img
+    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), x)
+    kernel = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+    smoothed = _depthwise_3x3(x, kernel)
+    H, W = x.shape[1:3]
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
     border = (yy == 0) | (yy == H - 1) | (xx == 0) | (xx == W - 1)
-    smoothed = jnp.where(border[..., None], img, smoothed)
-    return _blend(img, smoothed, factor)
+    smoothed = jnp.where(border[..., None], x, smoothed)  # PIL keeps the border
+    out = _blend(x, smoothed, factor)
+    return out[0] if squeeze else out
 
 
-def _enhance_factor(m, key):
-    """timm 'increasing' enhance arg: 1 + 0.9·(m/10) with random sign."""
-    sign = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
-    return 1.0 + sign * (m / 10.0) * 0.9
+# --- geometric ops: per-sample matrices composed into the main warp ---------
 
 
-def _geom(img, matrix, fill):
-    h, w, _ = img.shape
-    return warp_bilinear(img, matrix, h, w, fill=fill)
-
-
-def op_rotate(img, m, key, fill):
-    k_sign = key
-    sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
-    deg = sign * m / 10.0 * 30.0
-    rad = deg * math.pi / 180.0
-    h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+def _rotate_matrix(m, key, size: int) -> jax.Array:
+    sign = jnp.where(jax.random.bernoulli(key, 0.5, jnp.shape(m)), 1.0, -1.0)
+    rad = sign * jnp.asarray(m) / 10.0 * 30.0 * math.pi / 180.0
     c, s = jnp.cos(rad), jnp.sin(rad)
-    # rotate about center (source-lookup matrix)
-    mat = jnp.stack([
-        jnp.stack([c, -s, cy - c * cy + s * cx]),
-        jnp.stack([s, c, cx - s * cy - c * cx]),
-    ])
-    return _geom(img, mat, fill)
+    ctr = (size - 1) / 2.0
+    row0 = jnp.stack([c, -s, ctr - c * ctr + s * ctr], axis=-1)
+    row1 = jnp.stack([s, c, ctr - s * ctr - c * ctr], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
 
 
-def _shear_mat(sh_y, sh_x, h, w):
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    return jnp.stack([
-        jnp.stack([jnp.ones(()), sh_y, -sh_y * cx]),
-        jnp.stack([sh_x, jnp.ones(()), -sh_x * cy]),
-    ])
+def _shear_matrix(m, key, size: int, axis: int) -> jax.Array:
+    sign = jnp.where(jax.random.bernoulli(key, 0.5, jnp.shape(m)), 1.0, -1.0)
+    sh = sign * jnp.asarray(m) / 10.0 * 0.3
+    ctr = (size - 1) / 2.0
+    one = jnp.ones_like(sh)
+    zero = jnp.zeros_like(sh)
+    if axis == 0:  # ShearX: shear along the x lookup
+        row0 = jnp.stack([one, sh, -sh * ctr], axis=-1)
+        row1 = jnp.stack([zero, one, zero], axis=-1)
+    else:
+        row0 = jnp.stack([one, zero, zero], axis=-1)
+        row1 = jnp.stack([sh, one, -sh * ctr], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _translate_matrix(m, key, size: int, axis: int) -> jax.Array:
+    sign = jnp.where(jax.random.bernoulli(key, 0.5, jnp.shape(m)), 1.0, -1.0)
+    t = sign * jnp.asarray(m) / 10.0 * 0.45 * size
+    one = jnp.ones_like(t)
+    zero = jnp.zeros_like(t)
+    ty = t if axis == 1 else zero
+    tx = t if axis == 0 else zero
+    row0 = jnp.stack([one, zero, ty], axis=-1)
+    row1 = jnp.stack([zero, one, tx], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+# single-image geometric wrappers (tests / reference parity)
+def op_rotate(img, m, key, fill):
+    h = img.shape[-3]
+    return warp_bilinear(img, _rotate_matrix(jnp.asarray(m), key, h), h,
+                         img.shape[-2], fill)
 
 
 def op_shear_x(img, m, key, fill):
-    sign = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
-    sh = sign * m / 10.0 * 0.3
-    h, w, _ = img.shape
-    return _geom(img, _shear_mat(jnp.zeros(()) + sh, jnp.zeros(()), h, w), fill)
+    h = img.shape[-3]
+    return warp_bilinear(img, _shear_matrix(jnp.asarray(m), key, h, 0), h,
+                         img.shape[-2], fill)
 
 
 def op_shear_y(img, m, key, fill):
-    sign = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
-    sh = sign * m / 10.0 * 0.3
-    h, w, _ = img.shape
-    return _geom(img, _shear_mat(jnp.zeros(()), jnp.zeros(()) + sh, h, w), fill)
+    h = img.shape[-3]
+    return warp_bilinear(img, _shear_matrix(jnp.asarray(m), key, h, 1), h,
+                         img.shape[-2], fill)
 
 
 def op_translate_x(img, m, key, fill):
-    sign = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
-    h, w, _ = img.shape
-    t = sign * m / 10.0 * 0.45 * w
-    mat = jnp.stack([
-        jnp.stack([jnp.ones(()), jnp.zeros(()), jnp.zeros(())]),
-        jnp.stack([jnp.zeros(()), jnp.ones(()), t]),
-    ])
-    return _geom(img, mat, fill)
+    h = img.shape[-3]
+    return warp_bilinear(img, _translate_matrix(jnp.asarray(m), key, h, 0), h,
+                         img.shape[-2], fill)
 
 
 def op_translate_y(img, m, key, fill):
-    sign = jnp.where(jax.random.bernoulli(key), 1.0, -1.0)
-    h, w, _ = img.shape
-    t = sign * m / 10.0 * 0.45 * h
-    mat = jnp.stack([
-        jnp.stack([jnp.ones(()), jnp.zeros(()), t]),
-        jnp.stack([jnp.zeros(()), jnp.ones(()), jnp.zeros(())]),
-    ])
-    return _geom(img, mat, fill)
+    h = img.shape[-3]
+    return warp_bilinear(img, _translate_matrix(jnp.asarray(m), key, h, 1), h,
+                         img.shape[-2], fill)
 
 
-def op_identity(img, _m, _key, _fill):
-    return img
+# timm _RAND_INCREASING_TRANSFORMS op table. Geometric entries carry their
+# matrix builder; pixel entries their batched op.
+_GEO_BUILDERS = {
+    3: _rotate_matrix,
+    11: partial(_shear_matrix, axis=0),
+    12: partial(_shear_matrix, axis=1),
+    13: partial(_translate_matrix, axis=0),
+    14: partial(_translate_matrix, axis=1),
+}
+_PIXEL_OPS = {
+    0: op_autocontrast, 1: op_equalize, 2: op_invert, 4: op_posterize,
+    5: op_solarize, 6: op_solarize_add, 7: op_color, 8: op_contrast,
+    9: op_brightness, 10: op_sharpness,
+}
+NUM_RAND_OPS = 15
 
-
-# timm _RAND_INCREASING_TRANSFORMS order (minus Invert duplicates)
-RAND_OPS = [
-    op_autocontrast, op_equalize, op_invert, op_rotate, op_posterize,
-    op_solarize, op_solarize_add, op_color, op_contrast, op_brightness,
-    op_sharpness, op_shear_x, op_shear_y, op_translate_x, op_translate_y,
-]
+RAND_OPS = [op_autocontrast, op_equalize, op_invert, op_rotate, op_posterize,
+            op_solarize, op_solarize_add, op_color, op_contrast, op_brightness,
+            op_sharpness, op_shear_x, op_shear_y, op_translate_x, op_translate_y]
 
 
 # -----------------------------------------------------------------------------
@@ -348,19 +481,53 @@ class RandAugmentConfig:
         return cls(**kw)
 
 
+def _sample_ra_layer(key: jax.Array, B: int, ra: RandAugmentConfig):
+    k_op, k_apply, k_mag = jax.random.split(key, 3)
+    op_idx = jax.random.randint(k_op, (B,), 0, NUM_RAND_OPS)
+    apply = jax.random.bernoulli(k_apply, ra.prob, (B,))
+    m = jnp.clip(ra.magnitude + ra.mstd * jax.random.normal(k_mag, (B,)),
+                 0.0, 10.0)
+    return op_idx, apply, m
+
+
+def _ra_geo_matrices(op_idx, apply, m, key, size: int) -> jax.Array:
+    """[B,2,3] matrix for this RA layer: the chosen geometric op, or identity."""
+    B = op_idx.shape[0]
+    mat = jnp.broadcast_to(_eye23(), (B, 2, 3))
+    for i, builder in _GEO_BUILDERS.items():
+        sel = (apply & (op_idx == i))[:, None, None]
+        mat_i = builder(m, jax.random.fold_in(key, i), size)
+        mat = jnp.where(sel, mat_i, mat)
+    return mat
+
+
+def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
+    """Run each selected pixel op batched, gated by a scalar lax.cond so
+    unselected op kernels cost nothing at runtime."""
+    for i, op in _PIXEL_OPS.items():
+        sel = apply & (op_idx == i)
+        k_i = jax.random.fold_in(key, i)
+
+        def do(imgs, op=op, sel=sel, k_i=k_i):
+            out = op(imgs, m, k_i, fill)
+            return jnp.where(sel[:, None, None, None], out, imgs)
+
+        imgs = jax.lax.cond(jnp.any(sel), do, lambda x: x, imgs)
+    return imgs
+
+
 def rand_augment(key: jax.Array, img: jax.Array, ra: RandAugmentConfig,
                  fill: jax.Array) -> jax.Array:
-    """Apply ``num_layers`` randomly chosen ops to one image."""
+    """Single-image RandAugment (sequential, resampling geometric ops) —
+    test/reference path; the train pipeline uses the fused batched variant."""
 
     def layer(i, img):
         k = jax.random.fold_in(key, i)
         k_op, k_apply, k_mag, k_arg = jax.random.split(k, 4)
-        op_idx = jax.random.randint(k_op, (), 0, len(RAND_OPS))
+        op_i = jax.random.randint(k_op, (), 0, NUM_RAND_OPS)
         m = jnp.clip(ra.magnitude + ra.mstd * jax.random.normal(k_mag), 0.0, 10.0)
-        branches = [
-            (lambda im, op=op: op(im, m, k_arg, fill)) for op in RAND_OPS
-        ]
-        out = jax.lax.switch(op_idx, branches, img)
+        branches = [(lambda im, op=op: op(im, m, k_arg, fill)) for op in RAND_OPS]
+        out = jax.lax.switch(op_i, branches, img)
         return jnp.where(jax.random.bernoulli(k_apply, ra.prob), out, img)
 
     for i in range(ra.num_layers):
@@ -368,20 +535,24 @@ def rand_augment(key: jax.Array, img: jax.Array, ra: RandAugmentConfig,
     return img
 
 
-def color_jitter(key: jax.Array, img: jax.Array, strength: float) -> jax.Array:
-    """torchvision ColorJitter(brightness=contrast=saturation=strength) with
-    random order (order-sampling simplified to a fixed random permutation of 3)."""
+def color_jitter_batch(key: jax.Array, imgs: jax.Array, strength: float
+                       ) -> jax.Array:
+    """torchvision ColorJitter(brightness=contrast=saturation=strength),
+    per-sample factors, one random order per batch."""
+    B = imgs.shape[0]
     kb, kc, ks, ko = jax.random.split(key, 4)
-    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - strength), maxval=1 + strength)
-    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - strength), maxval=1 + strength)
-    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - strength), maxval=1 + strength)
+    lo, hi = max(0.0, 1 - strength), 1 + strength
+    fb = _bcast(jax.random.uniform(kb, (B,), minval=lo, maxval=hi), imgs)
+    fc = _bcast(jax.random.uniform(kc, (B,), minval=lo, maxval=hi), imgs)
+    fs = _bcast(jax.random.uniform(ks, (B,), minval=lo, maxval=hi), imgs)
 
     def brightness(im):
         return _clip(im * fb)
 
     def contrast(im):
-        gray_mean = jnp.mean(jnp.sum(im * _GRAY, axis=-1))
-        return _clip((im - gray_mean) * fc + gray_mean)
+        gmean = jnp.mean(jnp.sum(im * _GRAY, axis=-1), axis=(-2, -1))
+        gmean = _bcast(gmean, im)
+        return _clip((im - gmean) * fc + gmean)
 
     def saturation(im):
         gray = jnp.sum(im * _GRAY, axis=-1, keepdims=True)
@@ -390,22 +561,42 @@ def color_jitter(key: jax.Array, img: jax.Array, strength: float) -> jax.Array:
     fns = [brightness, contrast, saturation]
     perm = jax.random.permutation(ko, 3)
     for i in range(3):
-        img = jax.lax.switch(perm[i], fns, img)
-    return img
+        imgs = jax.lax.switch(perm[i], fns, imgs)
+    return imgs
 
 
-def gaussian_blur(key: jax.Array, img: jax.Array, radius_min=0.1, radius_max=2.0
-                  ) -> jax.Array:
-    """PIL GaussianBlur with random radius (3-Augment). Fixed 9-tap separable
-    kernel whose sigma is traced."""
-    radius = jax.random.uniform(key, (), minval=radius_min, maxval=radius_max)
+def color_jitter(key: jax.Array, img: jax.Array, strength: float) -> jax.Array:
+    return color_jitter_batch(key, img[None], strength)[0]
+
+
+def gaussian_blur_batch(key: jax.Array, imgs: jax.Array, radius_min=0.1,
+                        radius_max=2.0) -> jax.Array:
+    """PIL GaussianBlur with per-sample random radius (3-Augment): separable
+    9-tap kernel realized as weighted shifted slices (per-sample weights)."""
+    B, H, W, C = imgs.shape
+    k_r = key
+    radius = jax.random.uniform(k_r, (B,), minval=radius_min, maxval=radius_max)
     taps = jnp.arange(-4.0, 5.0)
-    k1 = jnp.exp(-0.5 * (taps / jnp.maximum(radius, 1e-3)) ** 2)
-    k1 = k1 / jnp.sum(k1)
-    x = img.transpose(2, 0, 1)[:, None]  # [C,1,H,W]
-    x = jax.lax.conv_general_dilated(x, k1.reshape(1, 1, 9, 1), (1, 1), "SAME")
-    x = jax.lax.conv_general_dilated(x, k1.reshape(1, 1, 1, 9), (1, 1), "SAME")
-    return x[:, 0].transpose(1, 2, 0)
+    w = jnp.exp(-0.5 * (taps[None, :] / jnp.maximum(radius[:, None], 1e-3)) ** 2)
+    w = w / jnp.sum(w, axis=1, keepdims=True)  # [B, 9]
+
+    def pass_axis(x, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (4, 4)
+        xp = jnp.pad(x, pad, mode="edge")
+        acc = jnp.zeros_like(x)
+        for i in range(9):
+            sl = [slice(None)] * 4
+            sl[axis] = slice(i, i + x.shape[axis])
+            acc = acc + w[:, i].reshape(B, 1, 1, 1) * xp[tuple(sl)]
+        return acc
+
+    return pass_axis(pass_axis(imgs, 1), 2)
+
+
+def gaussian_blur(key: jax.Array, img: jax.Array, radius_min=0.1,
+                  radius_max=2.0) -> jax.Array:
+    return gaussian_blur_batch(key, img[None], radius_min, radius_max)[0]
 
 
 def grayscale(img: jax.Array) -> jax.Array:
@@ -413,27 +604,34 @@ def grayscale(img: jax.Array) -> jax.Array:
     return jnp.broadcast_to(jnp.round(gray), img.shape)
 
 
-def random_erasing(key: jax.Array, img: jax.Array, prob: float,
-                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)) -> jax.Array:
-    """timm RandomErasing mode='pixel' on the *normalized* image: one box per
-    image filled with unit-normal noise."""
-    H, W, C = img.shape
+def random_erasing_batch(key: jax.Array, imgs: jax.Array, prob: float,
+                         scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)) -> jax.Array:
+    """timm RandomErasing mode='pixel' on the *normalized* batch: one box per
+    image filled with unit-normal noise. Pure elementwise masking."""
+    B, H, W, C = imgs.shape
     k_do, k_area, k_ratio, k_top, k_left, k_noise = jax.random.split(key, 6)
     area = H * W
-    target = area * jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
-    log_ratio = jax.random.uniform(k_ratio, (), minval=math.log(ratio[0]),
+    target = area * jax.random.uniform(k_area, (B,), minval=scale[0],
+                                       maxval=scale[1])
+    log_ratio = jax.random.uniform(k_ratio, (B,), minval=math.log(ratio[0]),
                                    maxval=math.log(ratio[1]))
     aspect = jnp.exp(log_ratio)
     eh = jnp.clip(jnp.round(jnp.sqrt(target * aspect)), 1, H)
     ew = jnp.clip(jnp.round(jnp.sqrt(target / aspect)), 1, W)
-    top = jnp.floor(jax.random.uniform(k_top) * (H - eh + 1))
-    left = jnp.floor(jax.random.uniform(k_left) * (W - ew + 1))
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    box = ((yy >= top) & (yy < top + eh) & (xx >= left) & (xx < left + ew))
-    noise = jax.random.normal(k_noise, img.shape, img.dtype)
-    do = jax.random.bernoulli(k_do, prob)
-    return jnp.where(do & box[..., None], noise, img)
+    top = jnp.floor(jax.random.uniform(k_top, (B,)) * (H - eh + 1))
+    left = jnp.floor(jax.random.uniform(k_left, (B,)) * (W - ew + 1))
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    box = ((yy >= top[:, None, None]) & (yy < (top + eh)[:, None, None])
+           & (xx >= left[:, None, None]) & (xx < (left + ew)[:, None, None]))
+    noise = jax.random.normal(k_noise, imgs.shape, imgs.dtype)
+    do = jax.random.bernoulli(k_do, prob, (B,))
+    return jnp.where((do[:, None, None] & box)[..., None], noise, imgs)
+
+
+def random_erasing(key: jax.Array, img: jax.Array, prob: float,
+                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)) -> jax.Array:
+    return random_erasing_batch(key, img[None], prob, scale, ratio)[0]
 
 
 # -----------------------------------------------------------------------------
@@ -484,57 +682,87 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
     B, H, W, _ = images_u8.shape
     S = ac.input_size
     fill = jnp.asarray([round(m * 255) for m in ac.mean], jnp.float32)
+    k_crop, k_flip, k_aug, k_geo, k_erase = jax.random.split(key, 5)
 
-    def per_image(key, img_u8):
-        img = img_u8.astype(jnp.float32)
-        k_crop, k_flip, k_aug, k_erase = jax.random.split(key, 4)
+    # 1. crop matrices (RandomResizedCrop | RandomCrop(pad=4) | src resize+crop)
+    if ac.small_input_crop or ac.src:
+        scale = 1.0 if ac.small_input_crop else min(H, W) / S
+        k_t, k_l = jax.random.split(k_crop)
+        top = (jax.random.randint(k_t, (B,), 0, 9).astype(jnp.float32) - 4.0) * scale
+        left = (jax.random.randint(k_l, (B,), 0, 9).astype(jnp.float32) - 4.0) * scale
+        ch = jnp.full((B,), (S if ac.small_input_crop else H) * 1.0)
+        cw = jnp.full((B,), (S if ac.small_input_crop else W) * 1.0)
+        mats = crop_matrix(top, left, ch, cw, S, S)
+    else:
+        tops, lefts, chs, cws = jax.vmap(
+            lambda k: random_resized_crop_params(k, H, W)
+        )(jax.random.split(k_crop, B))
+        mats = crop_matrix(tops, lefts, chs, cws, S, S)
 
-        if ac.small_input_crop:
-            # RandomCrop(S, padding=4) on native-resolution inputs
-            k_t, k_l = jax.random.split(k_crop)
-            top = jax.random.randint(k_t, (), 0, 9).astype(jnp.float32) - 4.0
-            left = jax.random.randint(k_l, (), 0, 9).astype(jnp.float32) - 4.0
-            mat = crop_matrix(top, left, jnp.float32(S), jnp.float32(S), S, S)
-        elif ac.src:
-            # 3-Augment --src: resize shorter side to S then RandomCrop(pad=4)
-            scale = min(H, W) / S
-            k_t, k_l = jax.random.split(k_crop)
-            top = (jax.random.randint(k_t, (), 0, 9).astype(jnp.float32) - 4.0) * scale
-            left = (jax.random.randint(k_l, (), 0, 9).astype(jnp.float32) - 4.0) * scale
-            mat = crop_matrix(top, left, jnp.float32(H), jnp.float32(W), S, S)
-        else:
-            top, left, ch, cw = random_resized_crop_params(k_crop, H, W)
-            mat = crop_matrix(top, left, ch, cw, S, S)
+    # 2. horizontal flip composed into the warp (still axis-aligned)
+    flip = jax.random.bernoulli(k_flip, 0.5, (B,))
+    flipped = compose(mats, jnp.broadcast_to(hflip_matrix(S), (B, 2, 3)))
+    mats = jnp.where(flip[:, None, None], flipped, mats)
 
-        flip = jax.random.bernoulli(k_flip)
-        mat = jax.lax.cond(flip, lambda m: _compose(hflip_matrix(S), m),
-                           lambda m: m, mat)
-        img = warp_bilinear(img, mat, S, S, fill=None)
-        img = _clip(img)
+    # 3. RandAugment layer sampling; geometric ops accumulate into one affine
+    ra_layers = []
+    geo = jnp.broadcast_to(_eye23(), (B, 2, 3))
+    any_geo = jnp.asarray(False)
+    if ac.rand_augment is not None and not ac.three_augment:
+        geo_ids = jnp.asarray(list(_GEO_BUILDERS), jnp.int32)
+        for layer in range(ac.rand_augment.num_layers):
+            k_l = jax.random.fold_in(k_aug, layer)
+            op_idx, apply, m = _sample_ra_layer(k_l, B, ac.rand_augment)
+            g_l = _ra_geo_matrices(op_idx, apply, m,
+                                   jax.random.fold_in(k_geo, layer), S)
+            geo = compose(geo, g_l)
+            any_geo = any_geo | jnp.any(
+                apply & jnp.isin(op_idx, geo_ids))
+            ra_layers.append((op_idx, apply, m, jax.random.fold_in(k_l, 999)))
 
-        if ac.three_augment:
-            k_choice, k_blur, k_sol, k_cj = jax.random.split(k_aug, 4)
-            choice = jax.random.randint(k_choice, (), 0, 3)
-            img = jax.lax.switch(choice, [
-                lambda im: grayscale(im),
-                lambda im: jnp.where(im < 128.0, im, 255.0 - im),  # solarize p=1
-                lambda im: gaussian_blur(k_blur, im),
-            ], img)
-            if ac.color_jitter > 0:
-                img = color_jitter(k_cj, img, ac.color_jitter)
-        else:
-            if ac.rand_augment is not None:
-                img = rand_augment(k_aug, img, ac.rand_augment, fill)
-            elif ac.color_jitter > 0:
-                img = color_jitter(k_aug, img, ac.color_jitter)
+    # 4. resampling: the axis-aligned crop/flip runs as two MXU matmuls; the
+    # (rarely selected) oblique RandAugment affine runs as one batched gather
+    # warp, placed at whichever resolution is smaller and gated by lax.cond.
+    imgs_f = images_u8.astype(jnp.float32)
+    oblique_at_source = H * W <= S * S
+    if oblique_at_source:
+        # conjugate the output-space affine into source space:
+        # total = M·G  ==  (M·G·M⁻¹)·M
+        g_src = (_to3(mats) @ _to3(geo) @ _to3(_invert_axis_aligned(mats)))[:, :2]
+        imgs_f = jax.lax.cond(
+            any_geo,
+            lambda x: warp_bilinear_batch(x, g_src, H, W, fill=fill),
+            lambda x: x, imgs_f)
+        imgs = resample_separable(imgs_f, mats, S, S, fill=fill)
+    else:
+        imgs = resample_separable(imgs_f, mats, S, S, fill=fill)
+        imgs = jax.lax.cond(
+            any_geo,
+            lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),
+            lambda x: x, imgs)
+    imgs = _clip(imgs)
 
-        img = _normalize(img, ac)
-        if ac.reprob > 0:
-            img = random_erasing(k_erase, img, ac.reprob)
-        return img
+    # 5. pixel ops
+    if ac.three_augment:
+        k_choice, k_blur, k_cj = jax.random.split(k_aug, 3)
+        choice = jax.random.randint(k_choice, (B,), 0, 3)
+        gray = grayscale(imgs)
+        sol = jnp.where(imgs < 128.0, imgs, 255.0 - imgs)
+        blur = gaussian_blur_batch(k_blur, imgs)
+        imgs = jnp.where((choice == 0)[:, None, None, None], gray,
+                         jnp.where((choice == 1)[:, None, None, None], sol, blur))
+        if ac.color_jitter > 0:
+            imgs = color_jitter_batch(k_cj, imgs, ac.color_jitter)
+    else:
+        for op_idx, apply, m, k_px in ra_layers:
+            imgs = _apply_ra_pixel_ops(imgs, op_idx, apply, m, k_px, fill)
+        if ac.rand_augment is None and ac.color_jitter > 0:
+            imgs = color_jitter_batch(k_aug, imgs, ac.color_jitter)
 
-    keys = jax.random.split(key, B)
-    return jax.vmap(per_image)(keys, images_u8)
+    imgs = _normalize(imgs, ac)
+    if ac.reprob > 0:
+        imgs = random_erasing_batch(k_erase, imgs, ac.reprob)
+    return imgs
 
 
 def eval_transform(images_u8: jax.Array, ac: AugmentConfig) -> jax.Array:
@@ -551,5 +779,5 @@ def eval_transform(images_u8: jax.Array, ac: AugmentConfig) -> jax.Array:
         left = (new_w - S) / 2.0 * scale
         mat = crop_matrix(jnp.float32(top), jnp.float32(left),
                           jnp.float32(S * scale), jnp.float32(S * scale), S, S)
-        img = jax.vmap(lambda im: warp_bilinear(im, mat, S, S))(img)
+        img = resample_separable(img, jnp.broadcast_to(mat, (B, 2, 3)), S, S)
     return _normalize(img, ac)

@@ -48,10 +48,11 @@ class Loader:
     def __len__(self) -> int:
         return self.steps_per_epoch(0)
 
-    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (uint8 images [B,h,w,3], int32 labels [B]) with background
-        prefetch. The final partial batch is padded by wraparound when
-        drop_last=False (eval) so shapes stay static for jit."""
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yield (uint8 images [B,h,w,3], int32 labels [B], n_valid) with
+        background prefetch. The final partial batch is padded by wraparound
+        when drop_last=False (eval) so shapes stay static for jit; ``n_valid``
+        lets metrics mask out the padding."""
         indices = epoch_indices(epoch, len(self.source), is_train=self.is_train,
                                 world=self.world, rank=self.rank,
                                 repeated_aug=self.repeated_aug, seed=self.seed)
@@ -80,7 +81,6 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
-                images, labels, n_valid = item
-                yield images, labels
+                yield item
         finally:
             stop.set()

@@ -1,0 +1,212 @@
+"""Epoch driver: the reference's engine.py + train.py main loop, TPU-native.
+
+``run(cfg)`` wires config → mesh → models → data → optimizer → jitted steps →
+epoch loop with validation, best-checkpoint tracking, resume/finetune and
+logging (reference tools/train.py:215-367, tools/engine.py:8-131).
+
+Throughput notes: batches are device_put with the data-axis sharding while
+the previous step is in flight; step metrics stay on device and are fetched
+lazily (once per log interval and at epoch end), so the accelerator never
+waits on Python between steps.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deltakd_tpu.ckpt.checkpoint import (load_checkpoint, load_student_for_finetune,
+                                         save_checkpoint)
+from deltakd_tpu.data import AugmentConfig, Loader, MixupConfig, build_source
+from deltakd_tpu.kd import KDSettings
+from deltakd_tpu.models import load_teacher_student
+from deltakd_tpu.obs import (MetricLogger, WandbRun, count_params,
+                             get_timestamped_log_file_path, measure_throughput,
+                             model_gflops, setup_logger)
+from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process, make_mesh,
+                                       replicated)
+from deltakd_tpu.train.optim import make_optimizer
+from deltakd_tpu.train.state import TrainState
+from deltakd_tpu.train.step import build_eval_step, build_train_step
+
+
+def train_one_epoch(state, train_step, teacher_params, loader: Loader,
+                    epoch: int, base_key, cfg, *, batch_shard=None,
+                    is_main: bool = True, printer=print) -> tuple:
+    """One sweep over the train loader (reference tools/engine.py:8-76)."""
+    metric_logger = MetricLogger(printer=printer)
+    header = f"Epoch: [{epoch + 1}/{cfg.epochs}]"
+    steps = len(loader)
+    if cfg.steps_per_epoch:
+        steps = min(steps, cfg.steps_per_epoch)
+    epoch_arr = jnp.asarray(epoch, jnp.int32)
+    collected = []
+
+    batches = itertools.islice(loader.epoch(epoch), steps)
+    for images, labels, _ in metric_logger.log_every(
+            batches, cfg.log_every, header, total=steps, is_main=is_main):
+        if batch_shard is not None:
+            images = jax.device_put(images, batch_shard)
+            labels = jax.device_put(labels, batch_shard)
+        state, metrics = train_step(state, teacher_params, images, labels,
+                                    base_key, epoch_arr)
+        collected.append(metrics)
+        if len(collected) % cfg.log_every == 0:
+            metric_logger.update(**{k: float(v) for k, v in metrics.items()})
+
+    # epoch averages from every step (fetched once, off the critical path)
+    host = jax.device_get(collected) if collected else []
+    avgs: Dict[str, float] = {}
+    if host:
+        for k in host[0]:
+            avgs[k] = float(np.mean([m[k] for m in host]))
+    return state, avgs
+
+
+def validate(student_params, eval_step, loader: Loader, cfg, *,
+             batch_shard=None, is_main: bool = True, printer=print,
+             prefix: str = "val") -> Dict[str, float]:
+    """Masked-sum evaluation (reference tools/engine.py:78-104)."""
+    metric_logger = MetricLogger(printer=printer)
+    steps = len(loader)
+    if cfg.eval_steps:
+        steps = min(steps, cfg.eval_steps)
+    sums = None
+    batches = itertools.islice(loader.epoch(0), steps)
+    for images, labels, n_valid in metric_logger.log_every(
+            batches, cfg.log_every, f"{prefix}:", total=steps, is_main=is_main):
+        if batch_shard is not None:
+            images = jax.device_put(images, batch_shard)
+            labels = jax.device_put(labels, batch_shard)
+        out = eval_step(student_params, images, labels, n_valid)
+        sums = out if sums is None else jax.tree.map(jnp.add, sums, out)
+    if sums is None:
+        return {}
+    sums = jax.device_get(sums)
+    n = max(float(sums["count"]), 1.0)
+    return {f"{prefix}_loss": float(sums["loss_sum"]) / n,
+            f"{prefix}_acc1": float(sums["correct1"]) / n * 100.0,
+            f"{prefix}_acc5": float(sums["correct5"]) / n * 100.0}
+
+
+def run(cfg) -> Dict[str, float]:
+    """Full training entry (reference tools/train.py:215-367)."""
+    mesh = make_mesh(cfg.mesh_shape)
+    data_size = mesh.shape["data"] * mesh.shape["model"]
+    is_main = is_main_process()
+
+    log_file = get_timestamped_log_file_path(cfg.log_file)
+    logger = setup_logger(log_file, is_main=is_main)
+    logger.info(f"Training started with {cfg.teacher_model} as teacher and "
+                f"{cfg.student_model} as student")
+    logger.info(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_init, base_key = jax.random.split(rng)
+    teacher, student, aux_params = load_teacher_student(cfg, rng=k_init)
+
+    # startup banner: params / FLOPs / inference throughput (train.py:230-241)
+    flops = params_m = throughput = None
+    if is_main:
+        params_m = count_params(student.params)
+        flops = model_gflops(student.module, student.params, cfg.input_size)
+        throughput = measure_throughput(
+            student.module, student.params,
+            batch_size=min(cfg.batch_size, 64), input_size=cfg.input_size)
+        logger.info("Model Statistics:")
+        logger.info(f"FLOPs: {flops:.2f}G" if flops else "FLOPs: n/a")
+        logger.info(f"Parameters: {params_m:.2f}M")
+        logger.info(f"Throughput: {throughput:.2f} images/sec")
+
+    wandb_run = WandbRun(enabled=cfg.wandb, project=cfg.wandb_project,
+                         name=os.path.basename(log_file).replace(".log", ""),
+                         config=cfg, is_main=is_main)
+    wandb_run.summary({"flops_G": flops, "params_M": params_m,
+                       "throughput": throughput})
+
+    # data: per-host batch covers this host's slice of the data axis
+    local_batch = cfg.batch_size * (data_size // jax.process_count())
+    train_src = build_source(cfg, is_train=True)
+    val_src = build_source(cfg, is_train=False)
+    train_loader = Loader(train_src, batch_size=local_batch, is_train=True,
+                          world=jax.process_count(), rank=jax.process_index(),
+                          repeated_aug=cfg.repeated_aug, seed=cfg.seed)
+    val_loader = Loader(val_src, batch_size=local_batch, is_train=False,
+                        world=jax.process_count(), rank=jax.process_index(),
+                        seed=cfg.seed)
+
+    steps_per_epoch = len(train_loader)
+    if cfg.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, cfg.steps_per_epoch)
+    tx = make_optimizer(cfg, {"student": student.params, "aux": aux_params},
+                        max(steps_per_epoch, 1))
+
+    state = TrainState.create(student_params=student.params, aux_params=aux_params,
+                              tx=tx, ema_decay=cfg.ema_decay)
+
+    start_epoch, best_val_acc = 0, 0.0
+    if cfg.checkpoint:
+        if cfg.resume:
+            state, start_epoch, best_val_acc = load_checkpoint(cfg.checkpoint, state)
+            logger.info(f"Resumed from {cfg.checkpoint} at epoch {start_epoch}")
+        elif cfg.finetune:
+            new_student = load_student_for_finetune(
+                cfg.checkpoint, state.params["student"],
+                num_prefix_tokens=student.cfg.num_prefix_tokens, log=logger.info)
+            state = state.replace(params={**state.params, "student": new_student})
+            logger.info(f"Finetuning from {cfg.checkpoint}")
+        else:
+            new_student = load_student_for_finetune(
+                cfg.checkpoint, state.params["student"],
+                num_prefix_tokens=student.cfg.num_prefix_tokens, log=logger.info)
+            state = state.replace(params={**state.params, "student": new_student})
+
+    kd = KDSettings.from_config(cfg, student_prefix=student.cfg.num_prefix_tokens,
+                                teacher_prefix=teacher.cfg.num_prefix_tokens)
+    aug = AugmentConfig.from_config(cfg)
+    mixup = MixupConfig.from_config(cfg, num_classes=student.cfg.num_classes)
+
+    train_step = build_train_step(cfg=cfg, kd=kd, student_module=student.module,
+                                  teacher_module=teacher.module, aug=aug,
+                                  mixup=mixup, tx=tx)
+    eval_step = build_eval_step(student_module=student.module, aug=aug)
+
+    # placement: params replicated, batches split on the data axis
+    repl = replicated(mesh)
+    shard = batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+    teacher_params = jax.device_put(teacher.params, repl)
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    val_metrics: Dict[str, float] = {}
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        state, train_metrics = train_one_epoch(
+            state, train_step, teacher_params, train_loader, epoch, base_key,
+            cfg, batch_shard=shard, is_main=is_main, printer=print)
+        val_metrics = validate(state.params["student"], eval_step, val_loader,
+                               cfg, batch_shard=shard, is_main=is_main)
+        wandb_run.log(train_metrics, step=epoch)
+        wandb_run.log(val_metrics, step=epoch)
+        epoch_time = time.time() - t0
+        logger.info(f"Epoch {epoch} ({epoch_time:.1f}s) - Train: {train_metrics} "
+                    f"- Val: {val_metrics}")
+
+        current = val_metrics.get("val_acc1", 0.0)
+        is_best = current > best_val_acc
+        best_val_acc = max(best_val_acc, current)
+        if is_main:
+            save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
+                            jax.device_get(state), epoch=epoch + 1,
+                            best_acc=best_val_acc, is_best=is_best)
+
+    logger.info("Training completed")
+    logger.info(f"Final validation metrics: {val_metrics}")
+    wandb_run.finish()
+    return {**val_metrics, "best_val_acc": best_val_acc}

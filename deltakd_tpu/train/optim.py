@@ -1,0 +1,98 @@
+"""Optimizer + LR schedule with timm-compatible semantics.
+
+The reference calls timm's ``create_optimizer``/``create_scheduler``
+(reference tools/train.py:264-265) with AdamW + per-epoch cosine. Parity
+points reproduced here:
+
+* weight decay is masked off for 1-D params (biases, LayerNorm) and for the
+  ViT no-decay set {pos_embed, cls_token, dist_token, mask_token} — timm's
+  ``param_groups`` split;
+* the cosine schedule steps per *epoch* (``scheduler.step(epoch)``,
+  reference train.py:333): linear warmup from ``warmup_lr`` over
+  ``warmup_epochs``, then ``min_lr + ½(lr−min_lr)(1+cos(π·t/T))`` with
+  ``T = epochs`` (timm CosineLRScheduler, cycle_limit=1), clamping to
+  ``min_lr`` beyond one cycle (the cooldown phase);
+* gradient clipping by global norm when ``--clip-grad`` is set
+  (timm NativeScaler's clip step, reference engine.py:61).
+
+The schedule is evaluated *inside* the jitted step from the optax step count
+(``steps_per_epoch`` is static), so per-epoch LR changes never retrigger
+compilation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token",
+                  "mask_token")
+
+
+def wd_mask(params) -> Any:
+    """True where weight decay applies (timm: ndim > 1 and not in no_decay)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def decay(path, leaf):
+        names = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
+        if any(str(n) in NO_DECAY_NAMES for n in names):
+            return False
+        return jnp.ndim(leaf) > 1
+
+    return jax.tree_util.tree_map_with_path(decay, params)
+
+
+def cosine_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
+    """timm CosineLRScheduler(t_initial=epochs, warmup_t, warmup_lr_init,
+    lr_min, cycle_limit=1) evaluated at integer epochs."""
+    base, warm0, lr_min = cfg.lr, cfg.warmup_lr, cfg.min_lr
+    warmup_t, t_initial = cfg.warmup_epochs, cfg.epochs
+
+    def lr_at_epoch(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
+        warm = warm0 + epoch * (base - warm0) / max(warmup_t, 1)
+        t = jnp.clip(epoch - warmup_t, 0.0, float(t_initial))
+        cos = lr_min + 0.5 * (base - lr_min) * (1.0 + jnp.cos(math.pi * t / t_initial))
+        lr = jnp.where(epoch < warmup_t, warm, cos)
+        return jnp.where(epoch >= warmup_t + t_initial, lr_min, lr)
+
+    return lr_at_epoch
+
+
+def make_schedule(cfg, steps_per_epoch: int) -> Callable[[jax.Array], jax.Array]:
+    if cfg.sched != "cosine":
+        raise NotImplementedError(
+            f"scheduler '{cfg.sched}' not implemented (reference default is "
+            f"cosine, train.py:69-70)")
+    per_epoch = cosine_epoch_schedule(cfg)
+
+    def sched(step):
+        return per_epoch(jnp.asarray(step) // steps_per_epoch)
+
+    return sched
+
+
+def make_optimizer(cfg, params, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = make_schedule(cfg, steps_per_epoch)
+    chain = []
+    if cfg.clip_grad is not None:
+        chain.append(optax.clip_by_global_norm(cfg.clip_grad))
+    betas = cfg.opt_betas or (0.9, 0.999)
+    if cfg.opt == "adamw":
+        chain.append(optax.adamw(
+            learning_rate=sched, b1=betas[0], b2=betas[1], eps=cfg.opt_eps,
+            weight_decay=cfg.weight_decay, mask=wd_mask(params)))
+    elif cfg.opt in ("sgd", "momentum"):
+        chain.append(optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask(params)),
+            optax.sgd(learning_rate=sched, momentum=cfg.momentum, nesterov=True)))
+    elif cfg.opt == "adam":
+        chain.append(optax.adam(learning_rate=sched, b1=betas[0], b2=betas[1],
+                                eps=cfg.opt_eps))
+    else:
+        raise NotImplementedError(f"optimizer '{cfg.opt}' not implemented")
+    return optax.chain(*chain)

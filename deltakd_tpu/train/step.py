@@ -1,0 +1,126 @@
+"""The jitted train/eval steps — the framework's hot path.
+
+One compiled function per (distillation type) fuses everything the reference
+spreads across DataLoader workers, autocast regions and DDP hooks
+(reference tools/engine.py:8-76): on-device augmentation + mixup, the frozen
+teacher forward (no_grad falls out of functional purity — the teacher params
+simply aren't differentiated), the student forward with explicit
+intermediates, the KD loss, backward, clip, AdamW update, EMA, and the metric
+reductions. Under a device mesh the batch is sharded on the ``data`` axis and
+XLA inserts the gradient all-reduce over ICI — the DDP/NCCL replacement
+(SURVEY.md §5.8).
+
+Per step this runs the same three transformer passes as the reference
+(student fwd+bwd, teacher fwd, SURVEY.md §3.2) but in one XLA program with
+bf16 compute and no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deltakd_tpu.data.augment import AugmentConfig, eval_transform, train_transform
+from deltakd_tpu.data.mixup import MixupConfig, apply_mixup
+from deltakd_tpu.kd.losses import (FEATURE_TYPES, LOGIT_TYPES, KDSettings,
+                                   cross_entropy, total_loss)
+from deltakd_tpu.train.state import TrainState
+
+
+def topk_correct(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
+    """Per-sample boolean: label within the top-k logits."""
+    _, topk = jax.lax.top_k(logits, k)
+    return jnp.any(topk == labels[:, None], axis=-1)
+
+
+def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
+                     aug: AugmentConfig, mixup: Optional[MixupConfig], tx,
+                     donate: bool = True) -> Callable:
+    """Returns jitted ``step(state, teacher_params, images_u8, labels, key,
+    epoch) -> (state, metrics)``."""
+    needs_teacher = kd.distillation_type != "none"
+    needs_features = kd.distillation_type in FEATURE_TYPES
+    distilled_training = (kd.distillation_type in LOGIT_TYPES
+                          and student_module.cfg.distilled)
+    ema_decay = cfg.ema_decay
+
+    def step(state: TrainState, teacher_params, images_u8, labels, key, epoch):
+        key = jax.random.fold_in(key, state.step)
+        k_aug, k_mix, k_loss, k_droppath, k_dropout = jax.random.split(key, 5)
+
+        images = train_transform(k_aug, images_u8, aug)
+        if mixup is not None:
+            images, targets = apply_mixup(k_mix, images, labels, mixup)
+        else:
+            targets = labels
+        images = images.astype(student_module.dtype)
+
+        if needs_teacher:
+            t_out = teacher_module.apply({"params": teacher_params}, images,
+                                         train=False)
+            teacher_logits = t_out.logits
+            teacher_feats = t_out.features if needs_features else None
+        else:
+            teacher_logits = teacher_feats = None
+
+        def loss_fn(params):
+            s_out = student_module.apply(
+                {"params": params["student"]}, images, train=True,
+                distilled_training=distilled_training,
+                rngs={"droppath": k_droppath, "dropout": k_dropout})
+            loss, metrics = total_loss(
+                kd, student_logits=s_out.logits,
+                student_dist_logits=s_out.logits_dist,
+                student_feats=s_out.features if needs_features else None,
+                teacher_logits=teacher_logits, teacher_feats=teacher_feats,
+                aux_params=params["aux"], targets=targets, rng=k_loss,
+                epoch=epoch, train=True)
+            return loss, (metrics, s_out.logits)
+
+        (loss, (loss_metrics, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, tx=tx, ema_decay=ema_decay)
+
+        # accuracy against the un-mixed labels (reference engine.py:53-56)
+        metrics = {
+            "train_loss": loss,
+            "train_acc1": jnp.mean(topk_correct(logits, labels, 1) * 100.0),
+            "train_acc5": jnp.mean(topk_correct(logits, labels, 5) * 100.0),
+            "grad_norm": optax_global_norm(grads),
+            **{k: v for k, v in loss_metrics.items()},
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if (donate and cfg.donate_state) else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def build_eval_step(*, student_module, aug: AugmentConfig, use_ema: bool = False
+                    ) -> Callable:
+    """Returns jitted ``eval_step(params, images_u8, labels, n_valid) ->
+    sums dict`` — masked sums so padded tail batches don't skew metrics
+    (the reference averages over DistributedSampler padding; we mask exactly)."""
+
+    def step(student_params, images_u8, labels, n_valid):
+        images = eval_transform(images_u8, aug).astype(student_module.dtype)
+        out = student_module.apply({"params": student_params}, images, train=False)
+        logits = out.logits
+        valid = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        return {
+            "loss_sum": jnp.sum(nll * valid),
+            "correct1": jnp.sum(topk_correct(logits, labels, 1) * valid),
+            "correct5": jnp.sum(topk_correct(logits, labels, 5) * valid),
+            "count": jnp.sum(valid),
+        }
+
+    return jax.jit(step)

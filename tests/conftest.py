@@ -7,7 +7,7 @@ set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +15,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon/TPU sitecustomize registers its platform before conftest runs and
+# pins JAX_PLATFORMS; override through the config API as well so tests always
+# run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

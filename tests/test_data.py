@@ -196,14 +196,37 @@ def test_loader_epoch_iteration_and_padding():
     assert len(batches) == 2
     assert batches[0][0].shape == (32, 8, 8, 3)
     assert batches[0][0].dtype == np.uint8
+    assert batches[0][2] == 32
 
     ev = Loader(src, batch_size=32, is_train=False)
     assert len(ev) == 3  # ceil, padded
     batches = list(ev.epoch(0))
     assert batches[-1][0].shape == (32, 8, 8, 3)
+    assert batches[-1][2] == 70 - 64  # padding masked out via n_valid
 
 
 def test_epoch_indices_single_process_shuffles():
     """Reference bug B1: single-GPU never shuffles. We do."""
     a = epoch_indices(0, 100, is_train=True, world=1, rank=0, repeated_aug=True)
     assert not np.array_equal(a, np.arange(100))
+
+
+def test_separable_resample_matches_gather_warp():
+    """The MXU fast path must agree with the reference gather warp for
+    axis-aligned transforms (crop / flip / translate)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randint(0, 256, (4, 24, 24, 3)).astype(np.float32))
+    fill = jnp.asarray([124.0, 116.0, 104.0])
+    # crops incl. an out-of-bounds translate and a flip
+    mats = jnp.stack([
+        A.crop_matrix(2.0, 3.0, 16.0, 16.0, 32, 32),
+        A.compose(A.crop_matrix(0.0, 0.0, 24.0, 24.0, 32, 32),
+                  A.hflip_matrix(32)),
+        A.crop_matrix(-6.0, -3.0, 24.0, 24.0, 32, 32),
+        A.crop_matrix(0.0, 0.0, 12.0, 20.0, 32, 32),
+    ])
+    fast = A.resample_separable(imgs, mats, 32, 32, fill=fill)
+    ref = A.warp_bilinear_batch(imgs, mats, 32, 32, fill=fill)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-2)
