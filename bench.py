@@ -27,6 +27,7 @@ A100_DDP_ESTIMATE_IMG_PER_SEC = 2500.0
 
 def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
          distillation_type: str = "soft"):
+    jax.config.update("jax_default_prng_impl", "rbg")
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.data.augment import AugmentConfig
     from deltakd_tpu.data.mixup import MixupConfig
@@ -36,14 +37,18 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
     from deltakd_tpu.train.state import TrainState
     from deltakd_tpu.train.step import build_train_step
 
+    from deltakd_tpu.ops.attention import best_attention_fn
+
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
                       drop_path_rate=0.1, epochs=300)
+    attn = best_attention_fn(True)
     rng = jax.random.PRNGKey(0)
     student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
-                           img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16)
+                           img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,
+                           attention_fn=attn)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
-                           img_size=224, dtype=jnp.bfloat16)
+                           img_size=224, dtype=jnp.bfloat16, attention_fn=attn)
     s_params = init_params(student, jax.random.PRNGKey(1))
     t_params = init_params(teacher, jax.random.PRNGKey(2))
     aux = init_aux_params(jax.random.PRNGKey(3), distillation_type,

@@ -17,7 +17,8 @@ import jax
 from deltakd_tpu.configs import add_train_args, config_from_namespace
 from deltakd_tpu.data import AugmentConfig, Loader, build_source
 from deltakd_tpu.models import load_teacher_student
-from deltakd_tpu.parallel.mesh import batch_sharding, is_main_process, make_mesh
+from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process,
+                                       make_mesh, replicated)
 from deltakd_tpu.train.loop import validate
 from deltakd_tpu.train.optim import make_optimizer
 from deltakd_tpu.train.state import TrainState
@@ -47,7 +48,7 @@ def main(argv=None):
         params = state.ema_params
     else:
         params = state.params
-    student_params = params["student"]
+    student_params = jax.device_put(params["student"], replicated(mesh))
 
     val_src = build_source(cfg, is_train=False)
     loader = Loader(val_src, batch_size=cfg.batch_size, is_train=False,

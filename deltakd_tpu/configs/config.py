@@ -128,6 +128,7 @@ class TrainConfig:
     log_every: int = 10            # MetricLogger print frequency (reference engine.py:15)
     flash_attention: bool = True   # use the Pallas fused attention kernel when profitable
     donate_state: bool = True      # donate TrainState buffers into the jitted step
+    prng_impl: str = "rbg"         # 'rbg' (TPU hardware RNG, faster) or 'threefry2x32'
 
     @property
     def mixup_active(self) -> bool:
@@ -257,6 +258,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--log-every", type=int, default=d.log_every)
     parser.add_argument("--no-flash-attention", action="store_false",
                         dest="flash_attention", default=True)
+    parser.add_argument("--prng-impl", type=str, default=d.prng_impl,
+                        choices=["rbg", "threefry2x32"])
     return parser
 
 
