@@ -38,6 +38,7 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
     from deltakd_tpu.train.step import build_train_step
 
     from deltakd_tpu.ops.attention import best_attention_fn
+    from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
@@ -48,7 +49,8 @@ def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
                            img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,
                            attention_fn=attn)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
-                           img_size=224, dtype=jnp.bfloat16, attention_fn=attn)
+                           img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
+                           mlp_fn=best_mlp_fn(True))
     s_params = init_params(student, jax.random.PRNGKey(1))
     t_params = init_params(teacher, jax.random.PRNGKey(2))
     aux = init_aux_params(jax.random.PRNGKey(3), distillation_type,

@@ -77,6 +77,7 @@ class TrainConfig:
     saliency_method: int = 1
     saliency_mask_ratio: float = 0.5
     wasskd_type: str = "l1"
+    sinkhorn_iters: int = 30  # ε-scaling levels for wasskd sinkhorn mode
     mgd_alpha: float = 7e-5
     mgd_mask_ratio: float = 0.5
 
@@ -129,6 +130,7 @@ class TrainConfig:
     flash_attention: bool = True   # use the Pallas fused attention kernel when profitable
     donate_state: bool = True      # donate TrainState buffers into the jitted step
     prng_impl: str = "rbg"         # 'rbg' (TPU hardware RNG, faster) or 'threefry2x32'
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of early steps
 
     @property
     def mixup_active(self) -> bool:
@@ -205,6 +207,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--saliency-method", type=int, default=d.saliency_method)
     parser.add_argument("--saliency-mask-ratio", type=float, default=d.saliency_mask_ratio)
     parser.add_argument("--wasskd-type", type=str, default=d.wasskd_type)
+    parser.add_argument("--sinkhorn-iters", type=int, default=d.sinkhorn_iters)
     parser.add_argument("--mgd-alpha", type=float, default=d.mgd_alpha)
     parser.add_argument("--mgd-mask-ratio", type=float, default=d.mgd_mask_ratio)
 
@@ -260,6 +263,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         dest="flash_attention", default=True)
     parser.add_argument("--prng-impl", type=str, default=d.prng_impl,
                         choices=["rbg", "threefry2x32"])
+    parser.add_argument("--profile-dir", type=str, default=None)
     return parser
 
 

@@ -57,7 +57,7 @@ class KDSettings:
     mgd_mask_ratio: float = 0.5
     student_prefix: int = 1   # CLS (reference slices [:,1:], loss.py:88-91)
     teacher_prefix: int = 2   # CLS+DIST (reference slices [:,2:], loss.py:95-99)
-    sinkhorn_iters: int = 100
+    sinkhorn_iters: int = 30  # ε-scaling levels (see kd/sinkhorn.py)
 
     @classmethod
     def from_config(cls, cfg, *, student_prefix: int, teacher_prefix: int) -> "KDSettings":
@@ -70,7 +70,8 @@ class KDSettings:
             saliency_mask_ratio=cfg.saliency_mask_ratio,
             wasskd_type=cfg.wasskd_type, mgd_alpha=cfg.mgd_alpha,
             mgd_mask_ratio=cfg.mgd_mask_ratio,
-            student_prefix=student_prefix, teacher_prefix=teacher_prefix)
+            student_prefix=student_prefix, teacher_prefix=teacher_prefix,
+            sinkhorn_iters=getattr(cfg, "sinkhorn_iters", 30))
 
 
 # ----------------------------------------------------------------------------

@@ -39,10 +39,12 @@ class ModelBundle:
 
 def create_model(name: str, *, num_classes: int, img_size: int = 224,
                  drop_path_rate: float = 0.0, dtype=jnp.bfloat16,
-                 attention_fn: Optional[Callable] = None) -> VisionTransformer:
+                 attention_fn: Optional[Callable] = None,
+                 mlp_fn: Optional[Callable] = None) -> VisionTransformer:
     cfg = get_model_config(name, num_classes=num_classes, img_size=img_size,
                            drop_path_rate=drop_path_rate)
-    return VisionTransformer(cfg, dtype=dtype, attention_fn=attention_fn)
+    return VisionTransformer(cfg, dtype=dtype, attention_fn=attention_fn,
+                             mlp_fn=mlp_fn)
 
 
 def init_params(module: VisionTransformer, rng: jax.Array) -> Dict[str, Any]:
@@ -68,10 +70,15 @@ def load_teacher_student(config, *, rng: jax.Array,
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     k_teacher, k_student, k_aux = jax.random.split(rng, 3)
 
+    # The teacher is forward-only (frozen, reference models.py:70-72), so it
+    # can additionally use the fused-MLP inference kernel.
+    from deltakd_tpu.ops.fused_mlp import best_mlp_fn
+
     teacher_module = create_model(
         config.teacher_model, num_classes=num_classes, img_size=config.input_size,
         drop_path_rate=0.0,  # teacher runs in eval mode; drop-path is inert anyway
-        dtype=dtype, attention_fn=attention_fn)
+        dtype=dtype, attention_fn=attention_fn,
+        mlp_fn=best_mlp_fn(attention_fn is not None))
     teacher_params = init_params(teacher_module, k_teacher)
     if config.teacher_checkpoint:
         state = load_state_dict(config.teacher_checkpoint)

@@ -97,17 +97,38 @@ def drop_path(x: jax.Array, rate: float, rng: jax.Array, deterministic: bool) ->
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-shaped params without computing, so a fused kernel can
+    consume them while the param tree stays identical to nn.Dense."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_init, (self.in_dim, self.out_dim),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
+    mlp_fn: Optional[Callable] = None  # fused (x, w1, b1, w2, b2) -> out
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_init, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc_init, name="fc2")(x)
-        return x
+        in_dim = x.shape[-1]
+        w1, b1 = _DenseParams(in_dim, self.hidden_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_dim, self.out_dim, name="fc2")()
+        if self.mlp_fn is not None:
+            return self.mlp_fn(x, w1, b1, w2, b2)
+        h = x @ w1.astype(self.dtype) + b1.astype(self.dtype)
+        h = nn.gelu(h, approximate=False)
+        return h @ w2.astype(self.dtype) + b2.astype(self.dtype)
 
 
 class Attention(nn.Module):
@@ -145,6 +166,7 @@ class Block(nn.Module):
     ln_eps: float
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    mlp_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> Tuple[jax.Array, jax.Array]:
@@ -159,7 +181,8 @@ class Block(nn.Module):
         x = x + y
 
         z = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.dtype, name="mlp")(z)
+        mlp_out = Mlp(int(D * self.mlp_ratio), D, self.dtype,
+                      self.mlp_fn, name="mlp")(z)
         z = mlp_out
         if use_droppath:
             z = drop_path(z, self.drop_path_rate, self.make_rng("droppath"), deterministic)
@@ -175,6 +198,7 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    mlp_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
@@ -209,6 +233,7 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x, mlp_out = Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                                dpr[i], cfg.ln_eps, self.dtype, self.attention_fn,
+                               self.mlp_fn,
                                name=f"blocks_{i}")(x, deterministic=not train)
             feats.append(mlp_out)
 

@@ -14,8 +14,19 @@ from __future__ import annotations
 
 import itertools
 import os
+import signal
 import time
 from typing import Dict, Optional
+
+# Preemption handling (SURVEY §5.3: the recovery model is per-epoch checkpoint
+# + rerun; this adds save-on-signal so a preempted run loses at most the
+# in-flight epoch). The handler only sets a flag — no work in signal context.
+_PREEMPTED = False
+
+
+def _request_stop(signum, frame):  # pragma: no cover - signal path
+    global _PREEMPTED
+    _PREEMPTED = True
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +110,12 @@ def run(cfg) -> Dict[str, float]:
     """Full training entry (reference tools/train.py:215-367)."""
     from deltakd_tpu.parallel.distributed import maybe_initialize_distributed
 
+    global _PREEMPTED
+    _PREEMPTED = False
+    try:
+        signal.signal(signal.SIGTERM, _request_stop)
+    except ValueError:  # not in the main thread (e.g. tests)
+        pass
     maybe_initialize_distributed()
     # TPU hardware RNG: ~3% faster steps than threefry with the same explicit
     # key discipline (replaces seed_everything, reference tools/utils.py:80-87)
@@ -196,9 +213,13 @@ def run(cfg) -> Dict[str, float]:
     val_metrics: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
+        if cfg.profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(cfg.profile_dir)
         state, train_metrics = train_one_epoch(
             state, train_step, teacher_params, train_loader, epoch, base_key,
             cfg, batch_shard=shard, is_main=is_main, printer=print)
+        if cfg.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
         val_metrics = validate(state.params["student"], eval_step, val_loader,
                                cfg, batch_shard=shard, is_main=is_main)
         wandb_run.log(train_metrics, step=epoch)
@@ -214,6 +235,10 @@ def run(cfg) -> Dict[str, float]:
             save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
                             jax.device_get(state), epoch=epoch + 1,
                             best_acc=best_val_acc, is_best=is_best)
+        if _PREEMPTED:
+            logger.info(f"SIGTERM received — checkpoint saved at epoch "
+                        f"{epoch + 1}, exiting for resume")
+            break
 
     logger.info("Training completed")
     logger.info(f"Final validation metrics: {val_metrics}")
