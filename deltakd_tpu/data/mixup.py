@@ -25,6 +25,7 @@ class MixupConfig:
     switch_prob: float = 0.5
     label_smoothing: float = 0.1
     num_classes: int = 1000
+    mode: str = "batch"  # 'batch' | 'pair' | 'elem' (timm Mixup modes)
 
     @classmethod
     def from_config(cls, cfg, num_classes: int) -> Optional["MixupConfig"]:
@@ -32,7 +33,8 @@ class MixupConfig:
             return None
         return cls(mixup_alpha=cfg.mixup, cutmix_alpha=cfg.cutmix,
                    prob=cfg.mixup_prob, switch_prob=cfg.mixup_switch_prob,
-                   label_smoothing=cfg.smoothing, num_classes=num_classes)
+                   label_smoothing=cfg.smoothing, num_classes=num_classes,
+                   mode=cfg.mixup_mode)
 
 
 def one_hot_smoothed(labels: jax.Array, num_classes: int, smoothing: float
@@ -62,37 +64,67 @@ def _rand_bbox(key: jax.Array, h: int, w: int, lam: jax.Array
 
 def apply_mixup(key: jax.Array, images: jax.Array, labels: jax.Array,
                 mc: MixupConfig) -> Tuple[jax.Array, jax.Array]:
-    """[B,H,W,C] images + int labels → (mixed images, soft targets [B,C])."""
-    B, H, W, _ = images.shape
-    k_do, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
-    do_mix = jax.random.bernoulli(k_do, mc.prob)
-    use_cutmix = (jax.random.bernoulli(k_switch, mc.switch_prob)
-                  if mc.cutmix_alpha > 0 and mc.mixup_alpha > 0
-                  else jnp.asarray(mc.mixup_alpha <= 0))
+    """[B,H,W,C] images + int labels → (mixed images, soft targets [B,C]).
 
-    lam_mix = (jax.random.beta(k_lam_m, mc.mixup_alpha, mc.mixup_alpha)
-               if mc.mixup_alpha > 0 else jnp.float32(1.0))
-    lam_cut = (jax.random.beta(k_lam_c, mc.cutmix_alpha, mc.cutmix_alpha)
-               if mc.cutmix_alpha > 0 else jnp.float32(1.0))
+    'batch' draws one (λ, mixup-vs-cutmix, apply) decision for the whole batch
+    (the reference recipes' mode); 'elem' draws all of them per sample; 'pair'
+    is per sample with decisions mirrored between flip partners (i, B-1-i),
+    matching timm's Mixup modes.
+    """
+    B, H, W, _ = images.shape
+    per_elem = mc.mode in ("elem", "pair")
+    shape = (B,) if per_elem else ()
+    k_do, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
+
+    do_mix = jax.random.bernoulli(k_do, mc.prob, shape)
+    if mc.cutmix_alpha > 0 and mc.mixup_alpha > 0:
+        use_cutmix = jax.random.bernoulli(k_switch, mc.switch_prob, shape)
+    else:
+        use_cutmix = jnp.full(shape, mc.mixup_alpha <= 0)
+    lam_mix = (jax.random.beta(k_lam_m, mc.mixup_alpha, mc.mixup_alpha, shape)
+               if mc.mixup_alpha > 0 else jnp.full(shape, 1.0))
+    lam_cut = (jax.random.beta(k_lam_c, mc.cutmix_alpha, mc.cutmix_alpha, shape)
+               if mc.cutmix_alpha > 0 else jnp.full(shape, 1.0))
+
+    if mc.mode == "pair":
+        # mirror decisions between flip partners so each pair mixes symmetrically
+        def mirror(v):
+            return jnp.where(jnp.arange(B) < B // 2, v, v[::-1])
+
+        do_mix, use_cutmix = mirror(do_mix), mirror(use_cutmix)
+        lam_mix, lam_cut = mirror(lam_mix), mirror(lam_cut)
 
     flipped = images[::-1]
+    lam_b = lam_mix.reshape(shape + (1, 1, 1)) if per_elem else lam_mix
+    mixed_m = lam_b * images + (1.0 - lam_b) * flipped
 
-    # mixup branch
-    mixed_m = lam_mix * images + (1.0 - lam_mix) * flipped
-
-    # cutmix branch
-    y0, y1, x0, x1, lam_cut_c = _rand_bbox(k_box, H, W, lam_cut)
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))[None, :, :, None]
+    if per_elem:
+        y0, y1, x0, x1, lam_cut_c = jax.vmap(
+            lambda k, l: _rand_bbox(k, H, W, l)
+        )(jax.random.split(k_box, B), lam_cut)
+        if mc.mode == "pair":
+            y0, y1, x0, x1, lam_cut_c = (jnp.where(jnp.arange(B) < B // 2, v, v[::-1])
+                                         for v in (y0, y1, x0, x1, lam_cut_c))
+        yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        box = ((yy >= y0[:, None, None]) & (yy < y1[:, None, None])
+               & (xx >= x0[:, None, None]) & (xx < x1[:, None, None]))[..., None]
+    else:
+        y0, y1, x0, x1, lam_cut_c = _rand_bbox(k_box, H, W, lam_cut)
+        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))[None, :, :, None]
     mixed_c = jnp.where(box, flipped, images)
 
-    mixed = jnp.where(use_cutmix, mixed_c, mixed_m)
+    sel = use_cutmix.reshape(shape + (1, 1, 1)) if per_elem else use_cutmix
+    mixed = jnp.where(sel, mixed_c, mixed_m)
     lam = jnp.where(use_cutmix, lam_cut_c, lam_mix)
 
-    images_out = jnp.where(do_mix, mixed, images)
+    do_b = do_mix.reshape(shape + (1, 1, 1)) if per_elem else do_mix
+    images_out = jnp.where(do_b, mixed, images)
     lam = jnp.where(do_mix, lam, 1.0)
 
     targets = one_hot_smoothed(labels, mc.num_classes, mc.label_smoothing)
-    targets = lam * targets + (1.0 - lam) * targets[::-1]
+    lam_t = lam[:, None] if per_elem else lam
+    targets = lam_t * targets + (1.0 - lam_t) * targets[::-1]
     return images_out, targets

@@ -201,7 +201,16 @@ def run(cfg) -> Dict[str, float]:
     train_step = build_train_step(cfg=cfg, kd=kd, student_module=student.module,
                                   teacher_module=teacher.module, aug=aug,
                                   mixup=mixup, tx=tx)
-    eval_step = build_eval_step(student_module=student.module, aug=aug)
+    # evaluation is forward-only → it can use the fused inference MLP kernel
+    # (identical param tree; only the compute path differs)
+    from deltakd_tpu.models.vit import VisionTransformer
+    from deltakd_tpu.ops.fused_mlp import best_mlp_fn
+
+    student_eval = VisionTransformer(
+        student.module.cfg, dtype=student.module.dtype,
+        attention_fn=student.module.attention_fn,
+        mlp_fn=best_mlp_fn(cfg.flash_attention))
+    eval_step = build_eval_step(student_module=student_eval, aug=aug)
 
     # placement: params replicated, batches split on the data axis
     repl = replicated(mesh)

@@ -230,3 +230,34 @@ def test_separable_resample_matches_gather_warp():
     fast = A.resample_separable(imgs, mats, 32, 32, fill=fill)
     ref = A.warp_bilinear_batch(imgs, mats, 32, 32, fill=fill)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-2)
+
+
+def test_bitonic_sort_matches_numpy():
+    from deltakd_tpu.ops.sort import bitonic_sort
+
+    rng = np.random.RandomState(3)
+    for shape, axis in [((5, 196, 7), 1), ((3, 256), -1), ((2, 17), 1), ((64,), 0)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(bitonic_sort(x, axis)),
+                                      np.sort(np.asarray(x), axis=axis))
+
+
+@pytest.mark.parametrize("mode", ["batch", "elem", "pair"])
+def test_mixup_modes(mode):
+    mc = MixupConfig(mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                     switch_prob=0.5, label_smoothing=0.1, num_classes=10,
+                     mode=mode)
+    images = jnp.asarray(np.stack([_rand_img(i) for i in range(8)]), jnp.float32)
+    labels = jnp.arange(8) % 10
+    mixed, targets = apply_mixup(jax.random.PRNGKey(3), images, labels, mc)
+    assert mixed.shape == images.shape
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), np.ones(8), rtol=1e-5)
+    if mode == "pair":
+        # pair mode: targets of flip partners use complementary weights
+        t = np.asarray(targets)
+        lam_ij = t[0].max() + t[7].max()  # both draw from the same pair mix
+        assert np.isfinite(lam_ij)
+    if mode == "elem":
+        # per-element: at least two samples should get different λ
+        t = np.asarray(targets)
+        assert len({round(float(r.max()), 4) for r in t}) > 1
