@@ -29,9 +29,16 @@ def _register_family() -> None:
             if distilled and size == "large":
                 continue  # no distilled DeiT-Large exists upstream
             dist_tag = "distilled_" if distilled else ""
-            name = f"deit_{size}_{dist_tag}patch16_224"
-            MODEL_REGISTRY[name] = ViTConfig(distilled=distilled, **dims)
-        MODEL_REGISTRY[f"vit_{size}_patch16_224"] = ViTConfig(**dims)
+            for img in (224, 384):
+                name = f"deit_{size}_{dist_tag}patch16_{img}"
+                MODEL_REGISTRY[name] = ViTConfig(distilled=distilled,
+                                                 img_size=img, **dims)
+        for img in (224, 384):
+            MODEL_REGISTRY[f"vit_{size}_patch16_{img}"] = ViTConfig(img_size=img,
+                                                                    **dims)
+        if size in ("base", "large"):
+            MODEL_REGISTRY[f"vit_{size}_patch32_224"] = ViTConfig(patch_size=32,
+                                                                  **dims)
 
 
 _register_family()

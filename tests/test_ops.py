@@ -1,0 +1,66 @@
+"""Pallas op kernels vs references (TPU-gated; sort network also runs on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deltakd_tpu.ops.fused_mlp import _HAS_PLTPU, reference_mlp
+from deltakd_tpu.ops.sort import bitonic_sort
+
+tpu_only = pytest.mark.skipif(
+    not (_HAS_PLTPU and jax.default_backend() == "tpu"),
+    reason="Pallas TPU backend unavailable (CPU test run)")
+
+
+def _mlp_inputs(seed=0, M=1000, D=48, H=192):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(rng.randn(M, D).astype(np.float32)),
+            jnp.asarray(rng.randn(D, H).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(H).astype(np.float32) * 0.01),
+            jnp.asarray(rng.randn(H, D).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(D).astype(np.float32) * 0.01))
+
+
+@tpu_only
+def test_fused_mlp_forward():
+    from deltakd_tpu.ops.fused_mlp import fused_mlp
+
+    args = _mlp_inputs()
+    np.testing.assert_allclose(np.asarray(fused_mlp(*args)),
+                               np.asarray(reference_mlp(*args)), atol=1e-3)
+
+
+@tpu_only
+def test_fused_mlp_train_gradients():
+    from deltakd_tpu.ops.fused_mlp import fused_mlp_train
+
+    args = _mlp_inputs(1)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) ** 2)
+
+    g_ref = jax.grad(loss(reference_mlp), argnums=(0, 1, 2, 3, 4))(*args)
+    g_fus = jax.grad(loss(fused_mlp_train), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_ref, g_fus):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-3 * scale)
+
+
+@tpu_only
+def test_pallas_bitonic_sort():
+    from deltakd_tpu.ops.sort import bitonic_sort_pallas
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 196, 128).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(bitonic_sort_pallas(x, axis=1)),
+        np.sort(np.asarray(x), axis=1))
+
+
+def test_xla_bitonic_sort_cpu():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 100, 5).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(bitonic_sort(x, axis=1)),
+                                  np.sort(np.asarray(x), axis=1))
