@@ -10,9 +10,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so R is
-measured against an estimated A100 DDP throughput for the same workload
-(DeiT-Tiny soft-KD step, bs 256, AMP): ~2500 img/s/GPU. R > 1 beats that
-estimate.
+measured against an estimated A100 DDP throughput for the same workload.
+Derivation: public timm A100 AMP benchmarks put DeiT-Tiny train (fwd+bwd) at
+~2800 img/s and DeiT-Small inference at ~5000 img/s; run serially per KD step
+that's 1/(1/2800 + 1/5000) ≈ 1795 img/s, before host dataloader and KD-loss
+overheads. We use 1800 img/s/GPU as the A100 reference point. R > 1 beats it.
 """
 
 import json
@@ -22,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_DDP_ESTIMATE_IMG_PER_SEC = 2500.0
+A100_DDP_ESTIMATE_IMG_PER_SEC = 1800.0
 
 
 def main(batch_size: int = 256, steps: int = 20, warmup: int = 3,
