@@ -18,8 +18,11 @@ Performance architecture (what makes this TPU-fast):
 * **Only selected ops execute.** Each pixel op is wrapped in a scalar
   `lax.cond` on "did any image pick this op this layer" — with 2 RandAugment
   layers only ~2 of the 15 op kernels actually run per step.
-* **No giant one-hots / scatters.** Equalize's histogram comes from
-  sort + searchsorted (50k-element sorts per channel), not a [HW,256] one-hot.
+* **No gathers, scatters, or sorts.** Resampling is dense interpolation
+  matmuls (separable for the axis-aligned crop; two-stage for oblique ops at
+  source resolution); equalize builds its histogram and applies its LUT via
+  radix one-hot matmuls, staying in NHWC layout so the surrounding lax.cond
+  needs no relayout copies.
 
 Op semantics follow PIL/timm (posterize bit masks, solarize thresholds,
 PIL-style equalize LUT, blend-based color/contrast/brightness/sharpness;
@@ -160,6 +163,36 @@ def resample_separable(imgs: jax.Array, mats: jax.Array, out_h: int,
     return out
 
 
+def warp_dense_matmul(imgs: jax.Array, mats: jax.Array, out_h: int,
+                      out_w: int, fill: Optional[jax.Array] = None
+                      ) -> jax.Array:
+    """General (oblique) batched affine warp as two dense interpolation
+    matmuls — no gathers.
+
+    The bilinear kernel factorizes per output pixel o:
+    out[o] = Σ_h ky[o,h] · (Σ_w kx[o,w] · src[h,w]) with ky/kx the triangle
+    weights of the (coupled) source coordinates. Profitable when
+    out·in_side·C is small (e.g. source-resolution warps of ≤64px inputs);
+    the gather path wins for large images."""
+    B, H, W, C = imgs.shape
+    O = out_h * out_w
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.stack([yy.ravel(), xx.ravel(), jnp.ones(O)])          # [3, O]
+    coords = jnp.einsum("bij,jo->bio", mats, grid)                    # [B,2,O]
+    sy, sx = coords[:, 0], coords[:, 1]                               # [B, O]
+    ky = _interp_matrix(sy, H)                                        # [B,O,H]
+    kx = _interp_matrix(sx, W)                                        # [B,O,W]
+    t = jnp.einsum("bow,bhwc->bohc", kx, imgs)                        # [B,O,H,C]
+    out = jnp.einsum("boh,bohc->boc", ky, t)                          # [B,O,C]
+    out = out.reshape(B, out_h, out_w, C)
+    if fill is not None:
+        oob = ((sy < -0.5) | (sy > H - 0.5) | (sx < -0.5) | (sx > W - 0.5))
+        out = jnp.where(oob.reshape(B, out_h, out_w, 1), fill, out)
+    return out
+
+
 def _invert_axis_aligned(mats: jax.Array) -> jax.Array:
     """Inverse of an axis-aligned [B,2,3] affine."""
     ay = mats[:, 0, 0]
@@ -278,13 +311,17 @@ def op_equalize(img, m, key, fill):
     B, H, W, C = x.shape
     npix = H * W
     v = jnp.clip(jnp.floor(x), 0, 255).astype(jnp.int32)
-    flat = v.transpose(0, 3, 1, 2).reshape(B * C, npix)
+    flat = v.reshape(B, npix, C)  # stay NHWC: no physical transpose (a layout
+    # flip here forces 150MB relayout copies around the enclosing lax.cond)
     hi = flat // 16
     lo = flat % 16
-    oh_hi = jax.nn.one_hot(hi, 16, dtype=jnp.bfloat16)  # [BC, HW, 16]
-    oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.bfloat16)
-    hist = jnp.einsum("phk,phl->pkl", oh_hi, oh_lo,
-                      preferred_element_type=jnp.float32)  # [BC, 16, 16]
+    # bf16 one-hots feed the MXU exactly (0/1, fp32 accumulation); the CPU
+    # backend lacks bf16×bf16→f32 dots, so fall back to f32 there
+    oh_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    oh_hi = jax.nn.one_hot(hi, 16, dtype=oh_dtype)  # [B, P, C, 16]
+    oh_lo = jax.nn.one_hot(lo, 16, dtype=oh_dtype)
+    hist = jnp.einsum("bpck,bpcl->bckl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
     hist = hist.reshape(B, C, 256)
 
     cdf = jnp.cumsum(hist, axis=-1)
@@ -300,11 +337,11 @@ def op_equalize(img, m, key, fill):
     # Apply the LUT through the same radix one-hots (two matmuls, exact for
     # integer LUT values ≤ 255 in bf16) — a take_along_axis gather here costs
     # ~480 ms/batch on v5e.
-    lut2d = lut.reshape(B * C, 16, 16).astype(jnp.bfloat16)
-    w_lo = jnp.einsum("phk,pkl->phl", oh_hi, lut2d,
-                      preferred_element_type=jnp.float32)  # [BC, HW, 16]
-    mapped = jnp.einsum("phl,phl->ph", oh_lo.astype(jnp.float32), w_lo)
-    mapped = mapped.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    lut2d = lut.reshape(B, C, 16, 16).astype(oh_dtype)
+    w_lo = jnp.einsum("bpck,bckl->bpcl", oh_hi, lut2d,
+                      preferred_element_type=jnp.float32)
+    mapped = jnp.einsum("bpcl,bpcl->bpc", oh_lo.astype(jnp.float32), w_lo)
+    mapped = mapped.reshape(B, H, W, C)
     out = jnp.where(step[:, None, None, :] > 0, mapped, x)
     return out[0] if squeeze else out
 
@@ -731,7 +768,7 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
         g_src = (_to3(mats) @ _to3(geo) @ _to3(_invert_axis_aligned(mats)))[:, :2]
         imgs_f = jax.lax.cond(
             any_geo,
-            lambda x: warp_bilinear_batch(x, g_src, H, W, fill=fill),
+            lambda x: warp_dense_matmul(x, g_src, H, W, fill=fill),
             lambda x: x, imgs_f)
         imgs = resample_separable(imgs_f, mats, S, S, fill=fill)
     else:
