@@ -30,8 +30,9 @@ from deltakd_tpu.train.state import TrainState
 
 
 def topk_correct(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
-    """Per-sample boolean: label within the top-k logits."""
-    _, topk = jax.lax.top_k(logits, k)
+    """Per-sample boolean: label within the top-k logits (k clamped to the
+    class count so top-5 metrics work on <5-way problems)."""
+    _, topk = jax.lax.top_k(logits, min(k, logits.shape[-1]))
     return jnp.any(topk == labels[:, None], axis=-1)
 
 
