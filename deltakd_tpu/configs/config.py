@@ -131,6 +131,7 @@ class TrainConfig:
     donate_state: bool = True      # donate TrainState buffers into the jitted step
     prng_impl: str = "rbg"         # 'rbg' (TPU hardware RNG, faster) or 'threefry2x32'
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of early steps
+    data_loader: str = "python"    # 'python' (PIL threads) or 'tfdata' (tf.data C++)
 
     @property
     def mixup_active(self) -> bool:
@@ -264,6 +265,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--prng-impl", type=str, default=d.prng_impl,
                         choices=["rbg", "threefry2x32"])
     parser.add_argument("--profile-dir", type=str, default=None)
+    parser.add_argument("--data-loader", type=str, default=d.data_loader,
+                        choices=["python", "tfdata"])
     return parser
 
 

@@ -723,12 +723,16 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
 
     # 1. crop matrices (RandomResizedCrop | RandomCrop(pad=4) | src resize+crop)
     if ac.small_input_crop or ac.src:
-        scale = 1.0 if ac.small_input_crop else min(H, W) / S
+        # RandomCrop(S, padding=4) semantics on native-size inputs
+        # (reference datasets.py:66-68); non-native sources (e.g. a 256px
+        # folder canvas feeding a 32px model) first scale to S, keeping the
+        # ±4-output-pixel jitter.
+        scale = min(H, W) / S
         k_t, k_l = jax.random.split(k_crop)
         top = (jax.random.randint(k_t, (B,), 0, 9).astype(jnp.float32) - 4.0) * scale
         left = (jax.random.randint(k_l, (B,), 0, 9).astype(jnp.float32) - 4.0) * scale
-        ch = jnp.full((B,), (S if ac.small_input_crop else H) * 1.0)
-        cw = jnp.full((B,), (S if ac.small_input_crop else W) * 1.0)
+        ch = jnp.full((B,), S * scale)
+        cw = jnp.full((B,), S * scale)
         mats = crop_matrix(top, left, ch, cw, S, S)
     else:
         tops, lefts, chs, cws = jax.vmap(
@@ -808,8 +812,11 @@ def eval_transform(images_u8: jax.Array, ac: AugmentConfig) -> jax.Array:
     B, H, W, _ = images_u8.shape
     S = ac.input_size
     img = images_u8.astype(jnp.float32)
-    if S > 32:
-        resize_to = int(S / ac.eval_crop_ratio)
+    if S > 32 or (H, W) != (S, S):
+        # >32px: Resize(S/crop_ratio) + CenterCrop(S) like the reference;
+        # ≤32px the reference skips resizing (native CIFAR), which only works
+        # when the source already is S×S — otherwise center-crop-resize to S.
+        resize_to = int(S / ac.eval_crop_ratio) if S > 32 else S
         scale = min(H, W) / resize_to
         new_h, new_w = round(H / scale), round(W / scale)
         top = (new_h - S) / 2.0 * scale

@@ -157,15 +157,18 @@ def run(cfg) -> Dict[str, float]:
                        "throughput": throughput})
 
     # data: per-host batch covers this host's slice of the data axis
+    from deltakd_tpu.data.tfdata import make_loader
+
     local_batch = cfg.batch_size * (data_size // jax.process_count())
     train_src = build_source(cfg, is_train=True)
     val_src = build_source(cfg, is_train=False)
-    train_loader = Loader(train_src, batch_size=local_batch, is_train=True,
-                          world=jax.process_count(), rank=jax.process_index(),
-                          repeated_aug=cfg.repeated_aug, seed=cfg.seed)
-    val_loader = Loader(val_src, batch_size=local_batch, is_train=False,
-                        world=jax.process_count(), rank=jax.process_index(),
-                        seed=cfg.seed)
+    train_loader = make_loader(cfg, train_src, batch_size=local_batch,
+                               is_train=True, world=jax.process_count(),
+                               rank=jax.process_index(),
+                               repeated_aug=cfg.repeated_aug, seed=cfg.seed)
+    val_loader = make_loader(cfg, val_src, batch_size=local_batch,
+                             is_train=False, world=jax.process_count(),
+                             rank=jax.process_index(), seed=cfg.seed)
 
     steps_per_epoch = len(train_loader)
     if cfg.steps_per_epoch:

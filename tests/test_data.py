@@ -261,3 +261,35 @@ def test_mixup_modes(mode):
         # per-element: at least two samples should get different λ
         t = np.asarray(targets)
         assert len({round(float(r.max()), 4) for r in t}) > 1
+
+
+def test_tfdata_loader_matches_python_loader(tmp_path):
+    """tf.data loader: same index semantics as the python loader, valid decode."""
+    tf = pytest.importorskip("tensorflow")
+    from PIL import Image
+
+    from deltakd_tpu.data.sources import FolderSource
+    from deltakd_tpu.data.tfdata import TFDataLoader
+
+    rng = np.random.RandomState(0)
+    for cls in ("a", "b", "c"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(7):
+            arr = rng.randint(0, 255, (40, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    src = FolderSource(str(tmp_path), raw_size=32, num_workers=2)
+    tfl = TFDataLoader(src, batch_size=8, is_train=True, seed=3)
+    pyl = Loader(src, batch_size=8, is_train=True, seed=3)
+    assert len(tfl) == len(pyl) == 2
+
+    tf_batches = list(tfl.epoch(0))
+    py_batches = list(pyl.epoch(0))
+    for (ti, tl, tn), (pi, pl_, pn) in zip(tf_batches, py_batches):
+        assert ti.shape == pi.shape == (8, 32, 32, 3)
+        np.testing.assert_array_equal(tl, pl_)  # identical label order
+        assert tn == pn
+        # decoders differ (TF resize is not antialiased, PIL's is — on
+        # noise images that's a visible but bounded delta)
+        assert np.mean(np.abs(ti.astype(np.int32) - pi.astype(np.int32))) < 25.0
