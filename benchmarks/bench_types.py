@@ -1,0 +1,88 @@
+"""Per-distillation-type step benchmark (full train step, one chip).
+
+    python benchmarks/bench_types.py [--batch-size 64] [--types soft mgd ...]
+
+Prints one line per type: ms/step and images/sec at steady state. The same
+measurement methodology as bench.py (scalar-fetch sync; see CLAUDE.md).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
+               steps: int = 10) -> float:
+    from deltakd_tpu.configs import TrainConfig
+    from deltakd_tpu.data.augment import AugmentConfig
+    from deltakd_tpu.data.mixup import MixupConfig
+    from deltakd_tpu.kd import KDSettings, init_aux_params
+    from deltakd_tpu.models import create_model, init_params
+    from deltakd_tpu.ops.attention import best_attention_fn
+    from deltakd_tpu.ops.fused_mlp import best_mlp_fn
+    from deltakd_tpu.train.optim import make_optimizer
+    from deltakd_tpu.train.state import TrainState
+    from deltakd_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(batch_size=batch_size, distillation_type=dtype_name,
+                      dataset="cifar-100", input_size=224, dtype="bfloat16",
+                      drop_path_rate=0.1, epochs=300, wasskd_type=wasskd_type)
+    attn = best_attention_fn(True)
+    student_name = ("deit_tiny_distilled_patch16_224"
+                    if dtype_name in ("soft", "hard") else "deit_tiny_patch16_224")
+    student = create_model(student_name, num_classes=100, img_size=224,
+                           drop_path_rate=0.1, dtype=jnp.bfloat16,
+                           attention_fn=attn)
+    teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
+                           img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
+                           mlp_fn=best_mlp_fn(True))
+    sp = init_params(student, jax.random.PRNGKey(1))
+    tp = init_params(teacher, jax.random.PRNGKey(2))
+    aux = init_aux_params(jax.random.PRNGKey(3), dtype_name, 192, 384)
+    kd = KDSettings.from_config(cfg, student_prefix=student.cfg.num_prefix_tokens,
+                                teacher_prefix=2)
+    tx = make_optimizer(cfg, {"student": sp, "aux": aux}, 100)
+    state = TrainState.create(student_params=sp, aux_params=aux, tx=tx)
+    step = build_train_step(cfg=cfg, kd=kd, student_module=student,
+                            teacher_module=teacher,
+                            aug=AugmentConfig.from_config(cfg),
+                            mixup=MixupConfig.from_config(cfg, 100), tx=tx)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.randint(0, 100, (batch_size,), dtype=np.int32))
+    key = jax.random.PRNGKey(4)
+    epoch = jnp.asarray(200, jnp.int32)  # curkd's last phase (heaviest)
+
+    state, m = step(state, tp, imgs, labels, key, epoch)
+    float(m["train_loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, tp, imgs, labels, key, epoch)
+    float(m["train_loss"])
+    ms = (time.perf_counter() - t0) / steps * 1000
+    tag = f"{dtype_name}-{wasskd_type}" if dtype_name == "wasskd" else dtype_name
+    print(f"{tag}: {ms:.0f} ms/step, {batch_size / ms * 1000:.0f} img/s")
+    return ms
+
+
+def main():
+    jax.config.update("jax_default_prng_impl", "rbg")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--types", nargs="+", default=[
+        "none", "soft", "hard", "mgd", "vitkd", "lrkd", "diffkd", "curkd",
+        "saliency_mgd", "wasskd"])
+    args = parser.parse_args()
+    for t in args.types:
+        if t == "wasskd":
+            bench_type(t, args.batch_size, "l1")
+            bench_type(t, args.batch_size, "sinkhorn")
+        else:
+            bench_type(t, args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

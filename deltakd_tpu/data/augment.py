@@ -409,17 +409,18 @@ def _rotate_matrix(m, key, size: int) -> jax.Array:
 
 
 def _shear_matrix(m, key, size: int, axis: int) -> jax.Array:
+    """PIL/timm shear: origin-anchored AFFINE lookup. ShearX (axis=0) maps
+    output (row, col) -> source (row, col + sh*row); ShearY the transpose."""
     sign = jnp.where(jax.random.bernoulli(key, 0.5, jnp.shape(m)), 1.0, -1.0)
     sh = sign * jnp.asarray(m) / 10.0 * 0.3
-    ctr = (size - 1) / 2.0
     one = jnp.ones_like(sh)
     zero = jnp.zeros_like(sh)
-    if axis == 0:  # ShearX: shear along the x lookup
-        row0 = jnp.stack([one, sh, -sh * ctr], axis=-1)
-        row1 = jnp.stack([zero, one, zero], axis=-1)
-    else:
+    if axis == 0:  # ShearX
         row0 = jnp.stack([one, zero, zero], axis=-1)
-        row1 = jnp.stack([sh, one, -sh * ctr], axis=-1)
+        row1 = jnp.stack([sh, one, zero], axis=-1)
+    else:          # ShearY
+        row0 = jnp.stack([one, sh, zero], axis=-1)
+        row1 = jnp.stack([zero, one, zero], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
 
 
@@ -734,11 +735,16 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
         ch = jnp.full((B,), S * scale)
         cw = jnp.full((B,), S * scale)
         mats = crop_matrix(top, left, ch, cw, S, S)
+        # torchvision RandomCrop(padding=4) zero-pads (reference
+        # datasets.py:66-68); --src mode uses padding_mode='reflect'
+        # (reference augment.py:94), approximated by edge clamping here
+        crop_fill = jnp.zeros((3,), jnp.float32) if ac.small_input_crop else None
     else:
         tops, lefts, chs, cws = jax.vmap(
             lambda k: random_resized_crop_params(k, H, W)
         )(jax.random.split(k_crop, B))
         mats = crop_matrix(tops, lefts, chs, cws, S, S)
+        crop_fill = None  # RRC boxes never leave the image
 
     # 2. horizontal flip composed into the warp (still axis-aligned)
     flip = jax.random.bernoulli(k_flip, 0.5, (B,))
@@ -774,9 +780,9 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             any_geo,
             lambda x: warp_dense_matmul(x, g_src, H, W, fill=fill),
             lambda x: x, imgs_f)
-        imgs = resample_separable(imgs_f, mats, S, S, fill=fill)
+        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill)
     else:
-        imgs = resample_separable(imgs_f, mats, S, S, fill=fill)
+        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill)
         imgs = jax.lax.cond(
             any_geo,
             lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),

@@ -60,6 +60,19 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # never block indefinitely: the consumer may abandon the generator
+            # mid-epoch (steps_per_epoch/eval_steps caps), and a producer stuck
+            # in q.put() would leak the thread plus `prefetch` batches of host
+            # memory every epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             for step in range(n_steps):
                 if stop.is_set():
@@ -71,8 +84,9 @@ class Loader:
                     pad = indices[: self.batch_size - n_valid]
                     batch_idx = np.concatenate([batch_idx, pad])
                 images, labels = self.source.get_batch(batch_idx)
-                q.put((images, labels, n_valid))
-            q.put(None)
+                if not put((images, labels, n_valid)):
+                    return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -40,12 +40,15 @@ def measure_throughput(module, params, *, batch_size: int = 64,
                        input_size: int = 224, num_batches: int = 10) -> float:
     """images/sec of compiled inference (reference utils.py:162-180 analog,
     minus its CPU-roundtrip fragility — SURVEY.md bug B5)."""
-    fwd = jax.jit(lambda p, x: module.apply({"params": p}, x, train=False).logits)
+    # sync by fetching a scalar: block_until_ready is unreliable on tunneled
+    # TPU backends (see CLAUDE.md timing notes)
+    fwd = jax.jit(lambda p, x: module.apply({"params": p}, x,
+                                            train=False).logits.sum())
     x = jnp.zeros((batch_size, input_size, input_size, 3), module.dtype)
-    fwd(params, x).block_until_ready()  # compile outside the timer
+    float(fwd(params, x))  # compile outside the timer
     start = time.perf_counter()
     for _ in range(num_batches):
         out = fwd(params, x)
-    out.block_until_ready()
+    float(out)  # device execution is in-order: last result syncs them all
     elapsed = time.perf_counter() - start
     return batch_size * num_batches / elapsed

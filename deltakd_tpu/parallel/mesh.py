@@ -44,7 +44,7 @@ def is_main_process() -> bool:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over data (and model, when present, for input reuse)."""
+    """Batch dim sharded over the data axis (replicated over model)."""
     return NamedSharding(mesh, P("data"))
 
 

@@ -18,6 +18,10 @@ import signal
 import time
 from typing import Dict, Optional
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 # Preemption handling (SURVEY §5.3: the recovery model is per-epoch checkpoint
 # + rerun; this adds save-on-signal so a preempted run loses at most the
 # in-flight epoch). The handler only sets a flag — no work in signal context.
@@ -28,9 +32,6 @@ def _request_stop(signum, frame):  # pragma: no cover - signal path
     global _PREEMPTED
     _PREEMPTED = True
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 from deltakd_tpu.ckpt.checkpoint import (load_checkpoint, load_student_for_finetune,
                                          save_checkpoint)
@@ -45,6 +46,17 @@ from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process, make_mes
 from deltakd_tpu.train.optim import make_optimizer
 from deltakd_tpu.train.state import TrainState
 from deltakd_tpu.train.step import build_eval_step, build_train_step
+
+
+def _put_batch(x, sharding):
+    """Place a per-process batch onto the mesh.
+
+    Multi-host: each process holds a *different* local array, so
+    ``device_put`` (which expects the same global value everywhere) is wrong —
+    assemble the global array from process-local shards instead."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def train_one_epoch(state, train_step, teacher_params, loader: Loader,
@@ -63,8 +75,8 @@ def train_one_epoch(state, train_step, teacher_params, loader: Loader,
     for images, labels, _ in metric_logger.log_every(
             batches, cfg.log_every, header, total=steps, is_main=is_main):
         if batch_shard is not None:
-            images = jax.device_put(images, batch_shard)
-            labels = jax.device_put(labels, batch_shard)
+            images = _put_batch(images, batch_shard)
+            labels = _put_batch(labels, batch_shard)
         state, metrics = train_step(state, teacher_params, images, labels,
                                     base_key, epoch_arr)
         collected.append(metrics)
@@ -93,8 +105,8 @@ def validate(student_params, eval_step, loader: Loader, cfg, *,
     for images, labels, n_valid in metric_logger.log_every(
             batches, cfg.log_every, f"{prefix}:", total=steps, is_main=is_main):
         if batch_shard is not None:
-            images = jax.device_put(images, batch_shard)
-            labels = jax.device_put(labels, batch_shard)
+            images = _put_batch(images, batch_shard)
+            labels = _put_batch(labels, batch_shard)
         out = eval_step(student_params, images, labels, n_valid)
         sums = out if sums is None else jax.tree.map(jnp.add, sums, out)
     if sums is None:
@@ -121,7 +133,9 @@ def run(cfg) -> Dict[str, float]:
     # key discipline (replaces seed_everything, reference tools/utils.py:80-87)
     jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     mesh = make_mesh(cfg.mesh_shape)
-    data_size = mesh.shape["data"] * mesh.shape["model"]
+    # --batch-size is per data-parallel device (torchrun per-GPU semantics);
+    # the model axis replicates data, so it does NOT multiply the batch
+    data_size = mesh.shape["data"]
     is_main = is_main_process()
 
     log_file = get_timestamped_log_file_path(cfg.log_file)

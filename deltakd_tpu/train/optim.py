@@ -35,7 +35,6 @@ NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token",
 
 def wd_mask(params) -> Any:
     """True where weight decay applies (timm: ndim > 1 and not in no_decay)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def decay(path, leaf):
         names = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
@@ -48,17 +47,22 @@ def wd_mask(params) -> Any:
 
 def cosine_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
     """timm CosineLRScheduler(t_initial=epochs, warmup_t, warmup_lr_init,
-    lr_min, cycle_limit=1) evaluated at integer epochs."""
+    lr_min, cycle_limit=1) evaluated at integer epochs.
+
+    timm's default is warmup_prefix=False: after warmup the cosine is
+    evaluated at the *raw* epoch over [0, t_initial] (the warmup carves into
+    the cycle rather than shifting it), and epochs ≥ t_initial sit at lr_min.
+    """
     base, warm0, lr_min = cfg.lr, cfg.warmup_lr, cfg.min_lr
     warmup_t, t_initial = cfg.warmup_epochs, cfg.epochs
 
     def lr_at_epoch(epoch):
         epoch = jnp.asarray(epoch, jnp.float32)
         warm = warm0 + epoch * (base - warm0) / max(warmup_t, 1)
-        t = jnp.clip(epoch - warmup_t, 0.0, float(t_initial))
+        t = jnp.clip(epoch, 0.0, float(t_initial))
         cos = lr_min + 0.5 * (base - lr_min) * (1.0 + jnp.cos(math.pi * t / t_initial))
         lr = jnp.where(epoch < warmup_t, warm, cos)
-        return jnp.where(epoch >= warmup_t + t_initial, lr_min, lr)
+        return jnp.where(epoch >= t_initial, lr_min, lr)
 
     return lr_at_epoch
 

@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from deltakd_tpu.data.augment import AugmentConfig, eval_transform, train_transform
 from deltakd_tpu.data.mixup import MixupConfig, apply_mixup
@@ -89,7 +90,7 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
             "train_loss": loss,
             "train_acc1": jnp.mean(topk_correct(logits, labels, 1) * 100.0),
             "train_acc5": jnp.mean(topk_correct(logits, labels, 5) * 100.0),
-            "grad_norm": optax_global_norm(grads),
+            "grad_norm": optax.global_norm(grads),
             **{k: v for k, v in loss_metrics.items()},
         }
         return new_state, metrics
@@ -98,13 +99,7 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def optax_global_norm(tree) -> jax.Array:
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
-
-
-def build_eval_step(*, student_module, aug: AugmentConfig, use_ema: bool = False
-                    ) -> Callable:
+def build_eval_step(*, student_module, aug: AugmentConfig) -> Callable:
     """Returns jitted ``eval_step(params, images_u8, labels, n_valid) ->
     sums dict`` — masked sums so padded tail batches don't skew metrics
     (the reference averages over DistributedSampler padding; we mask exactly)."""

@@ -1,0 +1,65 @@
+"""Config/CLI surface: flag-name parity with the reference, tuple handling,
+amp→bf16 mapping, and the sweep-config parser."""
+
+import pytest
+
+from deltakd_tpu.configs import TrainConfig, parse_args
+
+
+def test_reference_recipe_flags_parse():
+    """The exact flag set of reference exp/soft-deit-tiny.sh:14-31."""
+    cfg = parse_args([
+        "--student-model", "deit_tiny_distilled_patch16_224",
+        "--teacher-model", "deit_small_distilled_patch16_224",
+        "--dataset", "cifar-100", "--data-path", "/data", "--epochs", "300",
+        "--batch-size", "256", "--lr", "5e-4", "--weight-decay", "1e-4",
+        "--alpha", "0.1", "--tau", "3.0", "--gpus", "0,1",
+        "--distillation-type", "soft", "--log-file", "logs/x.log",
+        "--save-dir", "ckpt", "--wandb", "--wandb-project", "p"])
+    assert cfg.distillation_type == "soft"
+    assert cfg.lr == 5e-4 and cfg.weight_decay == 1e-4
+    assert cfg.wandb and cfg.wandb_project == "p"
+    assert cfg.mixup_active  # mixup/cutmix defaults on, like the reference
+
+
+def test_amp_and_fp16_map_to_bf16():
+    assert parse_args(["--amp", "--dtype", "float32"]).dtype == "bfloat16"
+    assert parse_args(["--fp16", "--dtype", "float32"]).dtype == "bfloat16"
+    assert parse_args(["--dtype", "float32"]).dtype == "float32"
+
+
+def test_tuple_flags():
+    cfg = parse_args(["--opt-betas", "0.9", "0.95", "--cutmix-minmax", "0.2", "0.8"])
+    assert cfg.opt_betas == (0.9, 0.95)
+    assert cfg.cutmix_minmax == (0.2, 0.8)
+    assert cfg.mixup_active  # cutmix_minmax set → mixup active (loss.py:245)
+
+
+def test_dead_reference_types_rejected():
+    """B9: aaakd/vitkd_w_logit advertised upstream but unimplemented — we
+    reject them at parse time instead of crashing at runtime."""
+    for bad in ("aaakd", "vitkd_w_logit", "aaakd_w_logit"):
+        with pytest.raises(SystemExit):
+            parse_args(["--distillation-type", bad])
+
+
+def test_config_immutable():
+    cfg = TrainConfig()
+    with pytest.raises(Exception):
+        cfg.lr = 1.0  # frozen dataclass — no runtime mutation (vs args.current_epoch)
+
+
+def test_sweep_config_parser():
+    from deltakd_tpu.cli.sweep import _mini_yaml, sample_params
+    import random
+
+    spec = _mini_yaml("exp/lrkd_sweep_config.yaml")
+    assert spec["method"] == "bayes"
+    assert spec["metric"]["name"] == "val_acc1"
+    assert spec["parameters"]["lrkd_rank"]["values"] == [16, 32, 64, 128]
+    assert spec["parameters"]["lrkd_alpha"]["min"] == 0.1
+
+    rng = random.Random(0)
+    params = sample_params(spec["parameters"], rng)
+    assert params["lrkd_rank"] in (16, 32, 64, 128)
+    assert 0.1 <= params["lrkd_alpha"] <= 0.3

@@ -57,12 +57,13 @@ def test_cosine_schedule_matches_timm_formula():
     # warmup endpoints (timm: warmup_lr_init + t*(lr-init)/warmup_t)
     np.testing.assert_allclose(float(sched(0)), 1e-6, rtol=1e-6)
     np.testing.assert_allclose(float(sched(4)), 1e-6 + 4 * (5e-4 - 1e-6) / 5, rtol=1e-6)
-    # epoch 5: cosine start = base lr
-    np.testing.assert_allclose(float(sched(5)), 5e-4, rtol=1e-6)
-    # mid-cosine
-    t = 150
-    expected = 1e-5 + 0.5 * (5e-4 - 1e-5) * (1 + np.cos(np.pi * (t - 5) / 300))
-    np.testing.assert_allclose(float(sched(t)), expected, rtol=1e-6)
+    # post-warmup: timm warmup_prefix=False — cosine at the RAW epoch over
+    # [0, t_initial], so epoch 5 sits slightly below base lr
+    expected5 = 1e-5 + 0.5 * (5e-4 - 1e-5) * (1 + np.cos(np.pi * 5 / 300))
+    np.testing.assert_allclose(float(sched(5)), expected5, rtol=1e-6)
+    # exact midpoint of the cycle
+    np.testing.assert_allclose(float(sched(150)),
+                               1e-5 + 0.5 * (5e-4 - 1e-5), rtol=1e-6)
     # cooldown past one cycle
     np.testing.assert_allclose(float(sched(310)), 1e-5, rtol=1e-6)
 
