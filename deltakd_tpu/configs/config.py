@@ -132,6 +132,9 @@ class TrainConfig:
     prng_impl: str = "rbg"         # 'rbg' (TPU hardware RNG, faster) or 'threefry2x32'
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of early steps
     data_loader: str = "python"    # 'python' (PIL threads) or 'tfdata' (tf.data C++)
+    grad_accum_steps: int = 1      # micro-batches per optimizer step (global
+    # batch = batch_size × data_axis × grad_accum_steps; single-chip stand-in
+    # for the reference's multi-GPU global batches)
 
     @property
     def mixup_active(self) -> bool:
@@ -267,6 +270,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", type=str, default=None)
     parser.add_argument("--data-loader", type=str, default=d.data_loader,
                         choices=["python", "tfdata"])
+    parser.add_argument("--grad-accum-steps", type=int, default=d.grad_accum_steps)
     return parser
 
 

@@ -173,7 +173,10 @@ def run(cfg) -> Dict[str, float]:
     # data: per-host batch covers this host's slice of the data axis
     from deltakd_tpu.data.tfdata import make_loader
 
-    local_batch = cfg.batch_size * (data_size // jax.process_count())
+    # per-host batch per optimizer step; grad accumulation multiplies the
+    # loaded batch, the jitted step scans it in micro-batches
+    local_batch = (cfg.batch_size * (data_size // jax.process_count())
+                   * max(1, cfg.grad_accum_steps))
     train_src = build_source(cfg, is_train=True)
     val_src = build_source(cfg, is_train=False)
     train_loader = make_loader(cfg, train_src, batch_size=local_batch,

@@ -47,11 +47,13 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
     distilled_training = (kd.distillation_type in LOGIT_TYPES
                           and student_module.cfg.distilled)
     ema_decay = cfg.ema_decay
+    accum = max(1, getattr(cfg, "grad_accum_steps", 1))
 
-    def step(state: TrainState, teacher_params, images_u8, labels, key, epoch):
-        key = jax.random.fold_in(key, state.step)
-        k_aug, k_mix, k_loss, k_droppath, k_dropout = jax.random.split(key, 5)
-
+    def micro_grads(params, teacher_params, micro_key, images_u8, labels,
+                    epoch):
+        """Loss/grads/metrics for one micro-batch."""
+        k_aug, k_mix, k_loss, k_droppath, k_dropout = jax.random.split(
+            micro_key, 5)
         images = train_transform(k_aug, images_u8, aug)
         if mixup is not None:
             images, targets = apply_mixup(k_mix, images, labels, mixup)
@@ -82,17 +84,48 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
             return loss, (metrics, s_out.logits)
 
         (loss, (loss_metrics, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads, tx=tx, ema_decay=ema_decay)
-
-        # accuracy against the un-mixed labels (reference engine.py:53-56)
+            loss_fn, has_aux=True)(params)
         metrics = {
             "train_loss": loss,
+            # accuracy against the un-mixed labels (reference engine.py:53-56)
             "train_acc1": jnp.mean(topk_correct(logits, labels, 1) * 100.0),
             "train_acc5": jnp.mean(topk_correct(logits, labels, 5) * 100.0),
-            "grad_norm": optax.global_norm(grads),
             **{k: v for k, v in loss_metrics.items()},
         }
+        return grads, metrics
+
+    def step(state: TrainState, teacher_params, images_u8, labels, key, epoch):
+        key = jax.random.fold_in(key, state.step)
+
+        if accum == 1:
+            grads, metrics = micro_grads(state.params, teacher_params, key,
+                                         images_u8, labels, epoch)
+        else:
+            # global batch = accum × micro-batch, averaged like one big batch
+            mb = images_u8.shape[0] // accum
+            imgs_m = images_u8.reshape(accum, mb, *images_u8.shape[1:])
+            labels_m = labels.reshape(accum, mb)
+
+            def body(carry, xs):
+                i, im, lb = xs
+                g, m = micro_grads(state.params, teacher_params,
+                                   jax.random.fold_in(key, i), im, lb, epoch)
+                g_acc, m_acc = carry
+                return (jax.tree.map(jnp.add, g_acc, g),
+                        jax.tree.map(jnp.add, m_acc, m)), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            zeros_m = {k: jnp.zeros((), jnp.float32) for k in
+                       ("train_loss", "train_acc1", "train_acc5", "base_loss",
+                        "distill_loss")}
+            (g_sum, m_sum), _ = jax.lax.scan(
+                body, (zeros_g, zeros_m),
+                (jnp.arange(accum), imgs_m, labels_m))
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            metrics = jax.tree.map(lambda m: m / accum, m_sum)
+
+        new_state = state.apply_gradients(grads=grads, tx=tx, ema_decay=ema_decay)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     donate_argnums = (0,) if (donate and cfg.donate_state) else ()

@@ -212,3 +212,36 @@ def test_finetune_merge_interpolates_and_drops_head(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(merged["blocks_0"]["attn"]["qkv"]["kernel"]),
         np.asarray(s_params["blocks_0"]["attn"]["qkv"]["kernel"]))
+
+
+def test_grad_accumulation_matches_large_batch():
+    """grad_accum_steps=2 scans two micro-batches, averages their gradients,
+    and applies ONE optimizer update (step count +1, finite averaged
+    grad-norm, params moved)."""
+    cfg = _tiny_cfg(distillation_type="none", warmup_epochs=0)
+    student, s_params, teacher, t_params = _models()
+    kd = KDSettings.from_config(cfg, student_prefix=1, teacher_prefix=2)
+    tx = make_optimizer(cfg, {"student": s_params, "aux": {}}, 10)
+
+    images, labels = _batch()
+    images, labels = jnp.asarray(images), jnp.asarray(labels)
+    key = jax.random.PRNGKey(11)
+    epoch = jnp.asarray(0)
+
+    # accum=2 with the batch duplicated: both micro-batches see identical data
+    cfg2 = cfg.replace(grad_accum_steps=2)
+    state2 = TrainState.create(student_params=s_params, aux_params={}, tx=tx)
+    step2 = build_train_step(cfg=cfg2, kd=kd, student_module=student,
+                             teacher_module=teacher,
+                             aug=AugmentConfig.from_config(cfg2), mixup=None,
+                             tx=tx, donate=False)
+    big_images = jnp.concatenate([images, images])
+    big_labels = jnp.concatenate([labels, labels])
+    out2, m2 = step2(state2, t_params, big_images, big_labels, key, epoch)
+    assert np.isfinite(float(m2["train_loss"]))
+    assert int(out2.step) == 1
+    # params moved and grad_norm is the averaged-micro norm (finite, > 0)
+    assert float(m2["grad_norm"]) > 0
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state2.params, out2.params)
+    assert max(jax.tree.leaves(delta)) > 0
