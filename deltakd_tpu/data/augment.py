@@ -49,6 +49,17 @@ import numpy as np
 
 _GRAY = np.array([0.299, 0.587, 0.114], np.float32)
 
+
+def _on_mxu() -> bool:
+    """True when tracing for TPU execution. The forced-host-platform flag
+    (virtual CPU meshes in tests and multi-chip dry runs) wins over the
+    default backend, which can remain 'tpu' in mixed-backend processes."""
+    import os
+
+    if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        return False
+    return jax.default_backend() == "tpu"
+
 # -----------------------------------------------------------------------------
 # Affine machinery
 # -----------------------------------------------------------------------------
@@ -317,7 +328,7 @@ def op_equalize(img, m, key, fill):
     lo = flat % 16
     # bf16 one-hots feed the MXU exactly (0/1, fp32 accumulation); the CPU
     # backend lacks bf16×bf16→f32 dots, so fall back to f32 there
-    oh_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    oh_dtype = jnp.bfloat16 if _on_mxu() else jnp.float32
     oh_hi = jax.nn.one_hot(hi, 16, dtype=oh_dtype)  # [B, P, C, 16]
     oh_lo = jax.nn.one_hot(lo, 16, dtype=oh_dtype)
     hist = jnp.einsum("bpck,bpcl->bckl", oh_hi, oh_lo,

@@ -196,16 +196,24 @@ def vitkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
 
 def lrkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Array:
     """LRKD (reference model/loss.py:80-103,314-330): student features projected
-    to rank-k, matched against the teacher's top-k spectral coordinates."""
+    to rank-k, matched against the teacher's top-k spectral coordinates.
+
+    The three per-layer eigendecompositions batch into one [3, D, D] eigh
+    (eigh has a large fixed cost on TPU; batching amortizes it)."""
     s_sel = _slice_feats(s_feats, (0, 1, -1), kd.student_prefix)
     # teacher layers 0, 1, 11 explicitly (loss.py:95-99)
     t_sel = _slice_feats(t_feats, (0, 1, 11), kd.teacher_prefix)
+
+    t2 = jnp.stack([t.reshape(-1, t.shape[-1]) for t in t_sel]).astype(jnp.float32)
+    gram = jnp.einsum("lmd,lme->lde", t2, t2)               # [3, D, D]
+    _, vecs = jnp.linalg.eigh(gram)                          # batched
+    v_k = vecs[:, :, ::-1][:, :, : kd.lrkd_rank]             # top-k per layer
+    targets = jnp.einsum("lmd,ldk->lmk", t2, v_k)            # [3, M, rank]
+
     losses = []
-    for a_params, s, t in zip(aux["align"], s_sel, t_sel):
+    for i, (a_params, s) in enumerate(zip(aux["align"], s_sel)):
         s2 = aux_ops.dense(a_params, s).reshape(-1, kd.lrkd_rank)
-        t2 = t.reshape(-1, t.shape[-1])
-        target = rank_k_targets(t2, kd.lrkd_rank)
-        losses.append(_mean_sq(target - s2.astype(jnp.float32)))
+        losses.append(_mean_sq(targets[i] - s2.astype(jnp.float32)))
     return (losses[0] * kd.lrkd_alpha + losses[1] * kd.lrkd_beta
             + losses[2] * kd.lrkd_gamma)
 

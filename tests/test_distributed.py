@@ -109,3 +109,47 @@ def test_mesh_shapes():
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
     mesh = make_mesh((4, 2))
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_grad_accumulation_under_mesh():
+    """grad_accum_steps composes with dp×tp sharding (scan over micro-batches
+    of a sharded global batch)."""
+    step, state, t_params, images, labels = _setup("mgd")
+    # rebuild the step with accumulation
+    from deltakd_tpu.configs import TrainConfig
+    from deltakd_tpu.data.augment import AugmentConfig
+    from deltakd_tpu.kd import KDSettings, init_aux_params
+    from deltakd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = TrainConfig(input_size=IMG, batch_size=8, epochs=10, warmup_epochs=2,
+                      drop_path_rate=0.0, dtype="float32", reprob=0.0, aa="",
+                      mixup=0.0, cutmix=0.0, dataset="cifar-100",
+                      distillation_type="mgd", grad_accum_steps=2)
+    student = VisionTransformer(
+        ViTConfig(img_size=IMG, embed_dim=32, depth=12, num_heads=2,
+                  num_classes=10, distilled=True), dtype=jnp.float32)
+    teacher = VisionTransformer(
+        ViTConfig(img_size=IMG, embed_dim=64, depth=12, num_heads=2,
+                  num_classes=10, distilled=True), dtype=jnp.float32)
+    kd = KDSettings.from_config(cfg, student_prefix=2, teacher_prefix=2)
+    from deltakd_tpu.train.optim import make_optimizer
+    from deltakd_tpu.train.state import TrainState
+    from deltakd_tpu.train.step import build_train_step
+
+    aux = init_aux_params(jax.random.PRNGKey(2), "mgd", 32, 64)
+    tx = make_optimizer(cfg, {"student": state.params["student"], "aux": aux}, 10)
+    st = TrainState.create(student_params=state.params["student"],
+                           aux_params=aux, tx=tx)
+    step_a = build_train_step(cfg=cfg, kd=kd, student_module=student,
+                              teacher_module=teacher,
+                              aug=AugmentConfig.from_config(cfg), mixup=None,
+                              tx=tx, donate=False)
+    mesh = make_mesh((4, 2))
+    shard = batch_sharding(mesh)
+    st = jax.device_put(st, param_shardings(mesh, st))
+    t_p = jax.device_put(t_params, param_shardings(mesh, t_params))
+    out, metrics = step_a(st, t_p, jax.device_put(jnp.asarray(images), shard),
+                          jax.device_put(jnp.asarray(labels), shard),
+                          jax.random.PRNGKey(0), jnp.asarray(0))
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert int(jax.device_get(out.step)) == 1
