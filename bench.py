@@ -27,12 +27,12 @@ import numpy as np
 A100_DDP_ESTIMATE_IMG_PER_SEC = 1800.0
 
 
-def main(batch_size: int = 64, steps: int = 30, warmup: int = 3,
+def main(batch_size: int = 48, steps: int = 40, warmup: int = 3,
          distillation_type: str = "soft"):
-    """Per-chip batch 64 is v5e's measured sweet spot for this workload
-    (scan: 32→1852, 64→2106, 96→2046, 128→1945, 256→1783 img/s); the global
-    batch of a recipe comes from the data-parallel axis, so per-chip batch is
-    a free throughput knob."""
+    """Per-chip batch 48 is v5e's measured sweet spot for this workload
+    (scan after the augmentation fixes: 32→2038, 48→2353, 64→2313, 96→2217,
+    256→~1850 img/s); the global batch of a recipe comes from the
+    data-parallel axis, so per-chip batch is a free throughput knob."""
     jax.config.update("jax_default_prng_impl", "rbg")
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.data.augment import AugmentConfig

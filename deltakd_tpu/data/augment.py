@@ -550,9 +550,17 @@ def _ra_geo_matrices(op_idx, apply, m, key, size: int) -> jax.Array:
     return mat
 
 
+_HEAVY_PIXEL_OPS = (1, 10)  # equalize, sharpness — worth a lax.cond gate
+
+
 def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
-    """Run each selected pixel op batched, gated by a scalar lax.cond so
-    unselected op kernels cost nothing at runtime."""
+    """Run each selected pixel op batched.
+
+    Cheap elementwise ops apply unconditionally through a select — XLA fuses
+    them into a couple of VPU passes with no layout boundaries. Only the two
+    expensive ops (equalize's histogram matmuls, sharpness's conv) sit behind
+    scalar lax.conds; a cond around a cheap op costs more than the op (branch
+    layout mismatches force full-tensor relayout copies)."""
     for i, op in _PIXEL_OPS.items():
         sel = apply & (op_idx == i)
         k_i = jax.random.fold_in(key, i)
@@ -561,7 +569,10 @@ def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
             out = op(imgs, m, k_i, fill)
             return jnp.where(sel[:, None, None, None], out, imgs)
 
-        imgs = jax.lax.cond(jnp.any(sel), do, lambda x: x, imgs)
+        if i in _HEAVY_PIXEL_OPS:
+            imgs = jax.lax.cond(jnp.any(sel), do, lambda x: x, imgs)
+        else:
+            imgs = do(imgs)
     return imgs
 
 
