@@ -130,20 +130,61 @@ def _masked_generation(aux: Dict[str, Any], x_keep: jax.Array,
     return grid_to_tokens(x)
 
 
-def rank_k_targets(t_feat_2d: jax.Array, rank: int) -> jax.Array:
+def topk_eigvecs_subspace(gram: jax.Array, rank: int, *, iters: int = 12,
+                          oversample: int = 8) -> jax.Array:
+    """Top-k eigenvectors of SPD ``gram`` [..., D, D] via randomized subspace
+    iteration — matmuls + Cholesky-QR only, no LAPACK eigh (a [3,384,384]
+    eigh costs ~20 ms on v5e; this runs in ~1 ms).
+
+    Deterministic (fixed internal seed). Rayleigh–Ritz at the end rotates the
+    converged subspace onto eigenvector directions.
+    """
+    d = gram.shape[-1]
+    p = min(rank + oversample, d)
+    v = jax.random.normal(jax.random.PRNGKey(0), gram.shape[:-2] + (d, p),
+                          jnp.float32)
+
+    def orthonormalize(v):
+        # Cholesky QR: V ← V·R⁻ᵀ with L = chol(VᵀV). The regularizer scales
+        # with the Gram diagonal — after a few power iterations trailing
+        # columns collapse toward the dominant subspace and an absolute eps
+        # underflows fp32, NaN-ing the factorization.
+        v = v / jnp.linalg.norm(v, axis=-2, keepdims=True)
+        vv = jnp.einsum("...dp,...dq->...pq", v, v)
+        eps = 1e-5 * jnp.mean(jnp.diagonal(vv, axis1=-2, axis2=-1),
+                              axis=-1)[..., None, None]
+        r = jnp.linalg.cholesky(vv + eps * jnp.eye(p))
+        return jax.lax.linalg.triangular_solve(
+            r, v, left_side=False, lower=True, transpose_a=True)
+
+    for _ in range(iters):
+        v = orthonormalize(jnp.einsum("...de,...ep->...dp", gram, v))
+    # Rayleigh–Ritz on the p-dim subspace (tiny p×p eigh)
+    m = jnp.einsum("...dp,...de,...eq->...pq", v, gram, v)
+    w, u = jnp.linalg.eigh(m)
+    v = jnp.einsum("...dp,...pq->...dq", v, u)
+    return v[..., ::-1][..., :rank]
+
+
+def rank_k_targets(t_feat_2d: jax.Array, rank: int,
+                   solver: str = "eigh") -> jax.Array:
     """Top-k spectral projection U_k·diag(S_k) of a [M, D] feature matrix.
 
     The reference computes a full SVD (reference model/loss.py:321-324), which
     is slow on TPU for M ≈ 50k rows. Since U_k·diag(S_k) = A·V_k, we instead
-    eigendecompose the D×D Gram matrix (one MXU matmul + a tiny eigh) and
-    project — identical up to the usual SVD column-sign ambiguity, which is
-    arbitrary in LAPACK anyway and irrelevant to the induced training signal's
-    geometry (the student align head absorbs the orthogonal/sign convention).
+    eigendecompose the D×D Gram matrix and project — identical up to the usual
+    SVD column-sign ambiguity, which is arbitrary in LAPACK anyway and
+    irrelevant to the induced training signal's geometry (the student align
+    head absorbs the orthogonal/sign convention). ``solver='subspace'`` swaps
+    the eigh for matmul-only subspace iteration (TPU fast path).
     """
     a = t_feat_2d.astype(jnp.float32)
     gram = a.T @ a
-    _, vecs = jnp.linalg.eigh(gram)          # ascending eigenvalues
-    v_k = vecs[:, ::-1][:, :rank]            # top-k right singular vectors
+    if solver == "subspace":
+        v_k = topk_eigvecs_subspace(gram, rank)
+    else:
+        _, vecs = jnp.linalg.eigh(gram)      # ascending eigenvalues
+        v_k = vecs[:, ::-1][:, :rank]        # top-k right singular vectors
     return a @ v_k                           # [M, rank] == U_k diag(S_k)
 
 
@@ -206,8 +247,13 @@ def lrkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Arra
 
     t2 = jnp.stack([t.reshape(-1, t.shape[-1]) for t in t_sel]).astype(jnp.float32)
     gram = jnp.einsum("lmd,lme->lde", t2, t2)               # [3, D, D]
-    _, vecs = jnp.linalg.eigh(gram)                          # batched
-    v_k = vecs[:, :, ::-1][:, :, : kd.lrkd_rank]             # top-k per layer
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # matmul-only solver: the batched eigh alone costs ~20 ms on v5e
+        v_k = topk_eigvecs_subspace(gram, kd.lrkd_rank)
+    else:
+        _, vecs = jnp.linalg.eigh(gram)                      # batched, exact
+        v_k = vecs[:, :, ::-1][:, :, : kd.lrkd_rank]         # top-k per layer
     targets = jnp.einsum("lmd,ldk->lmk", t2, v_k)            # [3, M, rank]
 
     losses = []
@@ -313,9 +359,12 @@ def wasskd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Ar
         if kd.wasskd_type == "l1":
             # reshape-based bitonic network instead of jnp.sort: gather-free
             # compare-exchange passes (~600 ms → ~30 ms per sort on v5e; the
-            # in-VMEM pallas variant in ops/sort.py measures slower here)
-            s_sorted = bitonic_sort(s.astype(jnp.float32), axis=1)
-            t_sorted = bitonic_sort(t.astype(jnp.float32), axis=1)
+            # in-VMEM pallas variant in ops/sort.py measures slower here).
+            # Sorting happens in the compute dtype (bf16 in production —
+            # matching the reference's AMP fp16 sort, engine.py:24) and the
+            # L1 reduction in fp32.
+            s_sorted = bitonic_sort(s, axis=1).astype(jnp.float32)
+            t_sorted = bitonic_sort(t, axis=1).astype(jnp.float32)
             loss += jnp.mean(jnp.abs(s_sorted - t_sorted))
         elif kd.wasskd_type == "sinkhorn":
             B, N, _ = s.shape

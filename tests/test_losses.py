@@ -327,3 +327,25 @@ def test_total_loss_combine_semantics():
         L.total_loss(kd, student_logits=logits, student_dist_logits=None,
                      student_feats=None, teacher_logits=t_logits,
                      teacher_feats=None, aux_params={}, targets=labels)
+
+
+def test_subspace_eigvecs_match_eigh_on_decaying_spectrum():
+    """The matmul-only top-k solver must reproduce eigh's targets on
+    realistic (fast-decaying) feature spectra."""
+    from deltakd_tpu.kd.losses import topk_eigvecs_subspace
+
+    rng = np.random.RandomState(0)
+    d, rank = 96, 16
+    # construct SPD with geometric spectrum (like ViT feature Grams)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    evals = 1000.0 * (0.7 ** np.arange(d))
+    gram = (q * evals) @ q.T
+    gram = jnp.asarray(0.5 * (gram + gram.T), jnp.float32)
+
+    v_sub = np.asarray(topk_eigvecs_subspace(gram, rank))
+    _, v_full = np.linalg.eigh(np.asarray(gram))
+    v_ref = v_full[:, ::-1][:, :rank]
+    # compare projectors (sign/rotation-invariant)
+    p_sub = v_sub @ v_sub.T
+    p_ref = v_ref @ v_ref.T
+    np.testing.assert_allclose(p_sub, p_ref, atol=1e-3)
