@@ -351,7 +351,20 @@ def saliency_mgd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
 def wasskd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Array:
     """WassKD (reference model/loss.py:177-227): layers 0-2; 'l1' sorts along
     the token dim (sliced 1-D Wasserstein), 'sinkhorn' uses the debiased
-    entropic OT divergence per sample."""
+    entropic OT divergence per sample (all 3 layers' point clouds batched
+    into one vmapped solve)."""
+    if kd.wasskd_type == "sinkhorn":
+        s_all = jnp.stack([
+            aux_ops.dense(aux["align_wasskd"][i], s_feats[i][:, kd.student_prefix:])
+            for i in range(3)])                          # [3, B, N, D]
+        t_all = jnp.stack([t_feats[i][:, kd.teacher_prefix:] for i in range(3)])
+        L, B, N, _ = s_all.shape
+        div = batched_sinkhorn_divergence(
+            s_all.reshape(L * B, N, -1), t_all.reshape(L * B, N, -1),
+            n_iters=kd.sinkhorn_iters)                   # [3B]
+        # per layer: Σ_b div / (B·N), then the mean over the 3 layers
+        return jnp.sum(div) / (B * N) / 3.0
+
     loss = 0.0
     for i in range(3):
         s = aux_ops.dense(aux["align_wasskd"][i], s_feats[i][:, kd.student_prefix:])
@@ -366,10 +379,6 @@ def wasskd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Ar
             s_sorted = bitonic_sort(s, axis=1).astype(jnp.float32)
             t_sorted = bitonic_sort(t, axis=1).astype(jnp.float32)
             loss += jnp.mean(jnp.abs(s_sorted - t_sorted))
-        elif kd.wasskd_type == "sinkhorn":
-            B, N, _ = s.shape
-            div = batched_sinkhorn_divergence(s, t, n_iters=kd.sinkhorn_iters)
-            loss += jnp.sum(div) / (B * N)
         else:
             raise ValueError(f"Invalid wasskd type: {kd.wasskd_type}")
     return loss / 3.0

@@ -78,7 +78,8 @@ def sinkhorn_divergence(x: jax.Array, y: jax.Array, *, blur: float = 0.05,
     """Debiased Sinkhorn divergence between point clouds x [N,D], y [M,D].
 
     ``n_iters`` is the number of ε-scaling levels (geomloss 'scaling' analog);
-    ``n_final`` extra iterations run at the target ε.
+    ``n_final`` extra iterations run at the target ε. When the clouds have
+    equal size, the two debiasing problems run as one batched scan.
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -89,8 +90,12 @@ def sinkhorn_divergence(x: jax.Array, y: jax.Array, *, blur: float = 0.05,
     diameter = jnp.max(c_xy)
     sched = _eps_schedule(diameter, eps, n_iters, n_final)
     ot_xy = _ot_dual(c_xy, sched)
-    ot_xx = _ot_symmetric(c_xx, sched)
-    ot_yy = _ot_symmetric(c_yy, sched)
+    if c_xx.shape == c_yy.shape:
+        ot_xx, ot_yy = jax.vmap(_ot_symmetric, in_axes=(0, None))(
+            jnp.stack([c_xx, c_yy]), sched)
+    else:
+        ot_xx = _ot_symmetric(c_xx, sched)
+        ot_yy = _ot_symmetric(c_yy, sched)
     return ot_xy - 0.5 * (ot_xx + ot_yy)
 
 
