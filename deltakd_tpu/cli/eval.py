@@ -15,7 +15,7 @@ import os
 import jax
 
 from deltakd_tpu.configs import add_train_args, config_from_namespace
-from deltakd_tpu.data import AugmentConfig, Loader, build_source
+from deltakd_tpu.data import AugmentConfig, build_source
 from deltakd_tpu.models import load_teacher_student
 from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process,
                                        make_mesh, replicated)
@@ -50,9 +50,12 @@ def main(argv=None):
         params = state.params
     student_params = jax.device_put(params["student"], replicated(mesh))
 
+    from deltakd_tpu.data.tfdata import make_loader
+
     val_src = build_source(cfg, is_train=False)
-    loader = Loader(val_src, batch_size=cfg.batch_size, is_train=False,
-                    world=jax.process_count(), rank=jax.process_index())
+    loader = make_loader(cfg, val_src, batch_size=cfg.batch_size, is_train=False,
+                         world=jax.process_count(), rank=jax.process_index(),
+                         seed=cfg.seed)
     eval_step = build_eval_step(student_module=student.module,
                                 aug=AugmentConfig.from_config(cfg))
     metrics = validate(student_params, eval_step, loader, cfg,

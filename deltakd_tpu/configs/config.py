@@ -135,6 +135,9 @@ class TrainConfig:
     grad_accum_steps: int = 1      # micro-batches per optimizer step (global
     # batch = batch_size × data_axis × grad_accum_steps; single-chip stand-in
     # for the reference's multi-GPU global batches)
+    allow_random_teacher: bool = False  # permit KD against an uninitialized
+    # teacher (tests/ablation only; reference always loads pretrained weights,
+    # reference model/models.py:60-63)
 
     @property
     def mixup_active(self) -> bool:
@@ -143,6 +146,32 @@ class TrainConfig:
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
+
+    def validate(self) -> "TrainConfig":
+        """Reject flag values we accept for CLI compatibility but do not honor.
+
+        The reference's timm ``create_scheduler``/``create_transform`` surface
+        includes LR-noise and random-erase variants (reference
+        tools/train.py:54-93,156-197) that this rebuild does not implement;
+        failing loudly beats silently training a different recipe.
+        """
+        if self.lr_noise is not None:
+            raise NotImplementedError(
+                "--lr-noise is not implemented (timm scheduler noise, "
+                "reference train.py:71-77); unset it")
+        if self.remode != "pixel":
+            raise NotImplementedError(
+                f"--remode '{self.remode}' is not implemented (only 'pixel', "
+                f"the reference default, reference train.py:173)")
+        if self.recount != 1:
+            raise NotImplementedError(
+                "--recount != 1 is not implemented (reference default is 1, "
+                "reference train.py:175)")
+        if self.resplit:
+            raise NotImplementedError(
+                "--resplit is not implemented (reference default is off, "
+                "reference train.py:177)")
+        return self
 
 
 def _none_or_float(v):
@@ -271,6 +300,7 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--data-loader", type=str, default=d.data_loader,
                         choices=["python", "tfdata"])
     parser.add_argument("--grad-accum-steps", type=int, default=d.grad_accum_steps)
+    parser.add_argument("--allow-random-teacher", action="store_true", default=False)
     return parser
 
 
@@ -292,4 +322,4 @@ def config_from_namespace(ns: argparse.Namespace) -> TrainConfig:
     # TPU equivalent by design).
     if kw.get("fp16") or kw.get("amp"):
         kw["dtype"] = "bfloat16"
-    return TrainConfig(**kw)
+    return TrainConfig(**kw).validate()

@@ -74,19 +74,25 @@ class Loader:
             return False
 
         def producer():
-            for step in range(n_steps):
-                if stop.is_set():
-                    return
-                lo = step * self.batch_size
-                batch_idx = indices[lo:lo + self.batch_size]
-                n_valid = len(batch_idx)
-                if n_valid < self.batch_size:
-                    pad = indices[: self.batch_size - n_valid]
-                    batch_idx = np.concatenate([batch_idx, pad])
-                images, labels = self.source.get_batch(batch_idx)
-                if not put((images, labels, n_valid)):
-                    return
-            put(None)
+            # A raised exception (e.g. a corrupt image inside get_batch) is
+            # forwarded through the queue — otherwise the consumer would block
+            # in q.get() forever and training would hang silently.
+            try:
+                for step in range(n_steps):
+                    if stop.is_set():
+                        return
+                    lo = step * self.batch_size
+                    batch_idx = indices[lo:lo + self.batch_size]
+                    n_valid = len(batch_idx)
+                    if n_valid < self.batch_size:
+                        pad = indices[: self.batch_size - n_valid]
+                        batch_idx = np.concatenate([batch_idx, pad])
+                    images, labels = self.source.get_batch(batch_idx)
+                    if not put((images, labels, n_valid)):
+                        return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 - forwarded, not hidden
+                put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -95,6 +101,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -166,6 +166,12 @@ def build_source(cfg, is_train: bool):
     # flowers/caltech256/stanford_cars accept either <root>/<dataset>/{train,val}
     # or a flat class tree.
     split = "train" if is_train else "val"
+    # Raw canvas scales with the model resolution: the eval pipeline resizes
+    # to input_size/eval_crop_ratio before the center crop (reference
+    # dataset/datasets.py:76-80), so the host canvas must be at least that
+    # large or a 384px model would upsample a destructively cropped 256px
+    # canvas.
+    raw_size = max(256, int(round(cfg.input_size / cfg.eval_crop_ratio)))
     candidates = [
         os.path.join(cfg.data_path, split),
         os.path.join(cfg.data_path, name, split),
@@ -176,7 +182,8 @@ def build_source(cfg, is_train: bool):
         if os.path.isdir(c) and any(
                 os.path.isdir(os.path.join(c, d)) for d in os.listdir(c)):
             try:
-                return FolderSource(c, num_workers=cfg.num_workers)
+                return FolderSource(c, raw_size=raw_size,
+                                    num_workers=cfg.num_workers)
             except FileNotFoundError:
                 continue
     raise FileNotFoundError(

@@ -114,9 +114,16 @@ def make_loader(cfg, source, *, is_train: bool, batch_size: int, world: int,
     """Loader factory honoring --data-loader."""
     from deltakd_tpu.data.pipeline import Loader
 
-    if getattr(cfg, "data_loader", "python") == "tfdata" and hasattr(source, "samples"):
-        return TFDataLoader(source, batch_size=batch_size, is_train=is_train,
-                            world=world, rank=rank, repeated_aug=repeated_aug,
-                            seed=seed)
+    if getattr(cfg, "data_loader", "python") == "tfdata":
+        if hasattr(source, "samples"):
+            return TFDataLoader(source, batch_size=batch_size, is_train=is_train,
+                                world=world, rank=rank, repeated_aug=repeated_aug,
+                                seed=seed)
+        import warnings
+
+        warnings.warn(
+            "--data-loader tfdata requested but the dataset is array-backed "
+            "(CIFAR/synthetic) — falling back to the python loader, which is "
+            "already zero-decode for in-memory arrays", stacklevel=2)
     return Loader(source, batch_size=batch_size, is_train=is_train,
                   world=world, rank=rank, repeated_aug=repeated_aug, seed=seed)

@@ -85,6 +85,18 @@ def load_teacher_student(config, *, rng: jax.Array,
         teacher_params, report = timm_to_flax(state, teacher_params)
         if report["skipped"]:
             print(f"[teacher import] reinitialized (shape mismatch): {report['skipped']}")
+    elif config.distillation_type != "none":
+        # The reference guarantees a pretrained teacher (pretrained=True,
+        # reference model/models.py:60-63); distilling against a randomly
+        # initialized one silently invalidates the whole run.
+        if not getattr(config, "allow_random_teacher", False):
+            raise ValueError(
+                f"--distillation-type {config.distillation_type} requires "
+                f"--teacher-checkpoint (the reference always loads pretrained "
+                f"teacher weights). Pass --allow-random-teacher to override "
+                f"for tests/ablations.")
+        print("[teacher] WARNING: distilling against a RANDOMLY INITIALIZED "
+              "teacher (--allow-random-teacher); KD signal is noise")
 
     student_module = create_model(
         config.student_model, num_classes=num_classes, img_size=config.input_size,

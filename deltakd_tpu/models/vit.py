@@ -246,9 +246,12 @@ class VisionTransformer(nn.Module):
             head_dist = nn.Dense(cfg.num_classes, dtype=self.dtype,
                                  kernel_init=trunc_init, name="head_dist")
             logits_dist = head_dist(x[:, 1]).astype(jnp.float32)
-            if train and distilled_training:
-                # DeiT distilled-training contract: the KD loss reads the dist
-                # head, the base loss reads the cls head (reference loss.py:31-41).
+            if train:
+                # timm's distilled DeiT returns (cls, dist) whenever training
+                # — the base criterion and train accuracy always consume the
+                # cls head alone (reference loss.py:31-41), for feature-KD
+                # objectives too, not just soft/hard. The head average is an
+                # eval-only behavior.
                 return ViTOutput(logits_cls, logits_dist, tuple(feats))
             return ViTOutput((logits_cls + logits_dist) / 2.0, logits_dist, tuple(feats))
         return ViTOutput(logits_cls, None, tuple(feats))

@@ -42,7 +42,7 @@ from deltakd_tpu.obs import (MetricLogger, WandbRun, count_params,
                              get_timestamped_log_file_path, measure_throughput,
                              model_gflops, setup_logger)
 from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process, make_mesh,
-                                       replicated)
+                                       param_shardings, state_shardings)
 from deltakd_tpu.train.optim import make_optimizer
 from deltakd_tpu.train.state import TrainState
 from deltakd_tpu.train.step import build_eval_step, build_train_step
@@ -104,10 +104,14 @@ def validate(student_params, eval_step, loader: Loader, cfg, *,
     batches = itertools.islice(loader.epoch(0), steps)
     for images, labels, n_valid in metric_logger.log_every(
             batches, cfg.log_every, f"{prefix}:", total=steps, is_main=is_main):
+        # per-sample validity, built against the LOCAL batch before global
+        # assembly so every host's tail padding is masked (not just proc 0's)
+        valid = np.arange(np.shape(labels)[0]) < n_valid
         if batch_shard is not None:
             images = _put_batch(images, batch_shard)
             labels = _put_batch(labels, batch_shard)
-        out = eval_step(student_params, images, labels, n_valid)
+            valid = _put_batch(valid, batch_shard)
+        out = eval_step(student_params, images, labels, valid)
         sums = out if sums is None else jax.tree.map(jnp.add, sums, out)
     if sums is None:
         return {}
@@ -232,11 +236,14 @@ def run(cfg) -> Dict[str, float]:
         mlp_fn=best_mlp_fn(cfg.flash_attention))
     eval_step = build_eval_step(student_module=student_eval, aug=aug)
 
-    # placement: params replicated, batches split on the data axis
-    repl = replicated(mesh)
+    # placement: batches split on the data axis; params/optimizer state follow
+    # the tensor-parallel rules on the model axis (Megatron-style column/row
+    # splits of QKV/MLP kernels, parallel/mesh.py) — with --mesh-shape D 1 the
+    # rules degenerate to full replication (pure DP, the reference's strategy)
     shard = batch_sharding(mesh)
-    state = jax.device_put(state, repl)
-    teacher_params = jax.device_put(teacher.params, repl)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    teacher_params = jax.device_put(teacher.params,
+                                    param_shardings(mesh, teacher.params))
 
     os.makedirs(cfg.save_dir, exist_ok=True)
     val_metrics: Dict[str, float] = {}

@@ -133,15 +133,23 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
 
 
 def build_eval_step(*, student_module, aug: AugmentConfig) -> Callable:
-    """Returns jitted ``eval_step(params, images_u8, labels, n_valid) ->
+    """Returns jitted ``eval_step(params, images_u8, labels, valid) ->
     sums dict`` — masked sums so padded tail batches don't skew metrics
-    (the reference averages over DistributedSampler padding; we mask exactly)."""
+    (the reference averages over DistributedSampler padding; we mask exactly).
 
-    def step(student_params, images_u8, labels, n_valid):
+    ``valid`` is a per-sample bool/float mask sharded like the batch. Under
+    multi-host execution each process marks its *own* tail padding, which a
+    scalar count compared against global row indices cannot express (the
+    global batch interleaves per-host shards). A scalar is still accepted for
+    single-process callers and means "first n_valid rows"."""
+
+    def step(student_params, images_u8, labels, valid):
         images = eval_transform(images_u8, aug).astype(student_module.dtype)
         out = student_module.apply({"params": student_params}, images, train=False)
         logits = out.logits
-        valid = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
+        if jnp.ndim(valid) == 0:
+            valid = jnp.arange(labels.shape[0]) < valid
+        valid = valid.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         return {

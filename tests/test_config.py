@@ -43,6 +43,40 @@ def test_dead_reference_types_rejected():
             parse_args(["--distillation-type", bad])
 
 
+def test_unhonored_flags_fail_loudly():
+    """Flags the reference's timm surface honors but we do not implement must
+    raise instead of silently changing the recipe (reference train.py:54-197)."""
+    with pytest.raises(NotImplementedError):
+        parse_args(["--lr-noise", "0.4", "0.8"])
+    with pytest.raises(NotImplementedError):
+        parse_args(["--remode", "const"])
+    with pytest.raises(NotImplementedError):
+        parse_args(["--recount", "3"])
+    with pytest.raises(NotImplementedError):
+        parse_args(["--resplit"])
+    # defaults stay valid
+    parse_args([])
+
+
+def test_random_teacher_requires_explicit_flag(tmp_path):
+    """KD without --teacher-checkpoint must raise (reference always loads
+    pretrained teacher weights, model/models.py:60-63) unless the test-only
+    escape hatch is passed."""
+    import jax
+
+    from deltakd_tpu.models import load_teacher_student
+
+    cfg = TrainConfig(distillation_type="soft", dataset="cifar-100",
+                      input_size=32)
+    with pytest.raises(ValueError, match="teacher-checkpoint"):
+        load_teacher_student(cfg, rng=jax.random.PRNGKey(0))
+    # escape hatch builds fine; plain supervised training needs no teacher ckpt
+    load_teacher_student(cfg.replace(allow_random_teacher=True),
+                         rng=jax.random.PRNGKey(0))
+    load_teacher_student(cfg.replace(distillation_type="none"),
+                         rng=jax.random.PRNGKey(0))
+
+
 def test_config_immutable():
     cfg = TrainConfig()
     with pytest.raises(Exception):

@@ -205,6 +205,30 @@ def test_loader_epoch_iteration_and_padding():
     assert batches[-1][2] == 70 - 64  # padding masked out via n_valid
 
 
+def test_loader_propagates_producer_errors():
+    """A failure inside the producer thread (e.g. a corrupt image) must
+    surface in the consumer instead of hanging q.get() forever."""
+
+    class BadSource:
+        num_classes = 10
+
+        def __len__(self):
+            return 64
+
+        @property
+        def raw_hw(self):
+            return 8, 8
+
+        def get_batch(self, indices):
+            raise OSError("truncated image")
+
+    loader = Loader(BadSource(), batch_size=32, is_train=True)
+    import pytest
+
+    with pytest.raises(OSError, match="truncated image"):
+        list(loader.epoch(0))
+
+
 def test_epoch_indices_single_process_shuffles():
     """Reference bug B1: single-GPU never shuffles. We do."""
     a = epoch_indices(0, 100, is_train=True, world=1, rank=0, repeated_aug=True)
