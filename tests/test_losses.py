@@ -276,6 +276,40 @@ def test_sinkhorn_divergence_properties():
     np.testing.assert_allclose(s_shift, float(jnp.sum(v * v)) / 2, rtol=0.05)
 
 
+def test_sinkhorn_matches_exact_ot_assignment():
+    """Ground truth: for uniform equal-size clouds, exact OT is an assignment
+    problem — scipy.optimize.linear_sum_assignment on the half-squared-
+    Euclidean cost gives the blur→0 limit of the debiased divergence
+    (geomloss conventions, reference model/loss.py:200-223)."""
+    import pytest
+
+    linear_sum_assignment = pytest.importorskip(
+        "scipy.optimize").linear_sum_assignment
+
+    rng = np.random.RandomState(3)
+    for n, d in ((12, 4), (24, 6)):
+        x = rng.randn(n, d).astype(np.float32)
+        y = (rng.randn(n, d) * 0.8 + 0.5).astype(np.float32)
+        C = (np.sum((x[:, None] - y[None, :]) ** 2, axis=-1) / 2.0)
+        r, c = linear_sum_assignment(C)
+        exact = C[r, c].mean()
+        ours = float(sinkhorn_divergence(jnp.asarray(x), jnp.asarray(y),
+                                         blur=0.01, n_iters=60, n_final=30))
+        # entropic bias at blur=0.01 is far below 2%
+        np.testing.assert_allclose(ours, exact, rtol=0.02)
+
+
+def test_sinkhorn_single_point_closed_form():
+    """Hand-computable finite-blur case: 1-point clouds force the plan, so
+    OT_ε(x,y) = |x-y|²/2 exactly and both debias terms are 0 at any ε."""
+    x = jnp.asarray([[1.0, 2.0, 3.0]])
+    y = jnp.asarray([[-1.0, 0.5, 2.0]])
+    expected = float(jnp.sum((x - y) ** 2)) / 2.0
+    for blur in (0.05, 0.5):
+        got = float(sinkhorn_divergence(x, y, blur=blur, n_iters=20))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
 def test_total_loss_combine_semantics():
     """α-weighted vs additive vs base+5·distill combine split (SURVEY.md §2.3)."""
     rng = np.random.RandomState(10)
