@@ -85,7 +85,10 @@ def timm_to_flax(state: Mapping[str, Any], target_params: Dict[str, Any],
         if tgt.shape != value.shape:
             skipped.append("/".join(tree_path))
             return
-        node[leaf] = jnp.asarray(value, dtype=jnp.asarray(tgt).dtype)
+        # jnp.array (not asarray): on CPU asarray can zero-copy the buffer of
+        # a live torch tensor (state_dict().numpy() views), silently aliasing
+        # "frozen" params to tensors a torch optimizer later mutates in place.
+        node[leaf] = jnp.array(value, dtype=jnp.asarray(tgt).dtype)
         loaded.append("/".join(tree_path))
 
     # tokens & position embedding

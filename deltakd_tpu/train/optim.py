@@ -5,8 +5,11 @@ The reference calls timm's ``create_optimizer``/``create_scheduler``
 points reproduced here:
 
 * weight decay is masked off for 1-D params (biases, LayerNorm) and for the
-  ViT no-decay set {pos_embed, cls_token, dist_token, mask_token} — timm's
-  ``param_groups`` split;
+  ViT no-decay set {pos_embed, cls_token, dist_token} — timm 0.9.12's
+  ``param_groups_weight_decay`` rule (``ndim <= 1 or name.endswith('.bias')
+  or name in model.no_weight_decay()``). The grafted ``mask_token``
+  (reference model/models.py:84, ndim 3, absent from timm's no-decay set)
+  therefore *does* receive weight decay, matching the reference;
 * the cosine schedule steps per *epoch* (``scheduler.step(epoch)``,
   reference train.py:333): linear warmup from ``warmup_lr`` over
   ``warmup_epochs``, then ``min_lr + ½(lr−min_lr)(1+cos(π·t/T))`` with
@@ -29,8 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token",
-                  "mask_token")
+NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token")
 
 
 def wd_mask(params) -> Any:

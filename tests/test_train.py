@@ -77,6 +77,9 @@ def test_wd_mask_excludes_norms_tokens_biases():
     assert mask["blocks_0"]["attn"]["qkv"]["bias"] is False
     assert mask["blocks_0"]["attn"]["qkv"]["kernel"] is True
     assert mask["patch_embed"]["kernel"] is True
+    # the grafted mask_token (reference model/models.py:84) is ndim 3, not
+    # '.bias', and absent from timm's no_weight_decay() → it IS decayed
+    assert wd_mask({"mask_token": jnp.zeros((1, 1, 8))})["mask_token"] is True
 
 
 @pytest.mark.parametrize("dtype_name", ["none", "soft", "hard", "mgd", "vitkd",
