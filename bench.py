@@ -27,12 +27,13 @@ import numpy as np
 A100_DDP_ESTIMATE_IMG_PER_SEC = 1800.0
 
 
-def main(batch_size: int = 48, steps: int = 40, warmup: int = 3,
+def main(batch_size: int = 128, steps: int = 40, warmup: int = 3,
          distillation_type: str = "soft"):
-    """Per-chip batch 48 is v5e's measured sweet spot for this workload
-    (scan after the augmentation fixes: 32→2038, 48→2353, 64→2313, 96→2217,
-    256→~1850 img/s); the global batch of a recipe comes from the
-    data-parallel axis, so per-chip batch is a free throughput knob."""
+    """Per-chip batch 128 is v5e's measured sweet spot with the fused block
+    kernel (round-2 scan: 48→2870, 64→2904, 96→2928, 128→3039, 256→2839
+    img/s; round 1 peaked at batch 48 with 2353); the global batch of a
+    recipe comes from the data-parallel axis, so per-chip batch is a free
+    throughput knob."""
     jax.config.update("jax_default_prng_impl", "rbg")
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.data.augment import AugmentConfig
@@ -43,20 +44,26 @@ def main(batch_size: int = 48, steps: int = 40, warmup: int = 3,
     from deltakd_tpu.train.state import TrainState
     from deltakd_tpu.train.step import build_train_step
 
+    from deltakd_tpu.kd.losses import FEATURE_TYPES
     from deltakd_tpu.ops.attention import best_attention_fn
+    from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
                       drop_path_rate=0.1, epochs=300)
     attn = best_attention_fn(True)
+    block_fn = best_block_fn(True)
+    needs_features = distillation_type in FEATURE_TYPES
     rng = jax.random.PRNGKey(0)
     student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
                            img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,
-                           attention_fn=attn)
+                           attention_fn=attn, block_fn=block_fn,
+                           collect_features=needs_features)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
                            img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
-                           mlp_fn=best_mlp_fn(True))
+                           mlp_fn=best_mlp_fn(True), block_fn=block_fn,
+                           collect_features=needs_features)
     s_params = init_params(student, jax.random.PRNGKey(1))
     t_params = init_params(teacher, jax.random.PRNGKey(2))
     aux = init_aux_params(jax.random.PRNGKey(3), distillation_type,

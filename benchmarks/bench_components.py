@@ -56,6 +56,7 @@ def main(batches):
     from deltakd_tpu.kd import KDSettings, init_aux_params
     from deltakd_tpu.models import create_model, init_params
     from deltakd_tpu.ops.attention import best_attention_fn
+    from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn, best_train_mlp_fn
     from deltakd_tpu.train.optim import make_optimizer
     from deltakd_tpu.train.state import TrainState
@@ -66,12 +67,15 @@ def main(batches):
                           dataset="cifar-100", input_size=224, dtype="bfloat16",
                           drop_path_rate=0.1, epochs=300)
         attn = best_attention_fn(True)
+        block_fn = best_block_fn(True)
         student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
                                img_size=224, drop_path_rate=0.1,
-                               dtype=jnp.bfloat16, attention_fn=attn)
+                               dtype=jnp.bfloat16, attention_fn=attn,
+                               block_fn=block_fn, collect_features=False)
         teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
                                img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
-                               mlp_fn=best_mlp_fn(True))
+                               mlp_fn=best_mlp_fn(True), block_fn=block_fn,
+                               collect_features=False)
         s_params = init_params(student, jax.random.PRNGKey(1))
         t_params = init_params(teacher, jax.random.PRNGKey(2))
         aux = init_aux_params(jax.random.PRNGKey(3), "soft",

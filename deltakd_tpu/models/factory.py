@@ -40,11 +40,14 @@ class ModelBundle:
 def create_model(name: str, *, num_classes: int, img_size: int = 224,
                  drop_path_rate: float = 0.0, dtype=jnp.bfloat16,
                  attention_fn: Optional[Callable] = None,
-                 mlp_fn: Optional[Callable] = None) -> VisionTransformer:
+                 mlp_fn: Optional[Callable] = None,
+                 block_fn: Optional[Callable] = None,
+                 collect_features: bool = True) -> VisionTransformer:
     cfg = get_model_config(name, num_classes=num_classes, img_size=img_size,
                            drop_path_rate=drop_path_rate)
     return VisionTransformer(cfg, dtype=dtype, attention_fn=attention_fn,
-                             mlp_fn=mlp_fn)
+                             mlp_fn=mlp_fn, block_fn=block_fn,
+                             collect_features=collect_features)
 
 
 def init_params(module: VisionTransformer, rng: jax.Array) -> Dict[str, Any]:
@@ -72,13 +75,25 @@ def load_teacher_student(config, *, rng: jax.Array,
 
     # The teacher is forward-only (frozen, reference models.py:70-72), so it
     # can additionally use the fused-MLP inference kernel.
+    from deltakd_tpu.kd.losses import FEATURE_TYPES
+    from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
+
+    # The fully-fused block kernel needs whole weight matrices per device —
+    # disable it when a model axis shards them (Megatron TP, parallel/mesh.py)
+    # so XLA doesn't silently all-gather the shards every step.
+    mesh_shape = getattr(config, "mesh_shape", None)
+    tp_active = mesh_shape is not None and len(mesh_shape) > 1 and mesh_shape[1] > 1
+    kernels_on = attention_fn is not None
+    block_fn = best_block_fn(kernels_on and not tp_active)
+    needs_features = config.distillation_type in FEATURE_TYPES
 
     teacher_module = create_model(
         config.teacher_model, num_classes=num_classes, img_size=config.input_size,
         drop_path_rate=0.0,  # teacher runs in eval mode; drop-path is inert anyway
         dtype=dtype, attention_fn=attention_fn,
-        mlp_fn=best_mlp_fn(attention_fn is not None))
+        mlp_fn=best_mlp_fn(kernels_on),
+        block_fn=block_fn, collect_features=needs_features)
     teacher_params = init_params(teacher_module, k_teacher)
     if config.teacher_checkpoint:
         state = load_state_dict(config.teacher_checkpoint)
@@ -100,7 +115,8 @@ def load_teacher_student(config, *, rng: jax.Array,
 
     student_module = create_model(
         config.student_model, num_classes=num_classes, img_size=config.input_size,
-        drop_path_rate=config.drop_path_rate, dtype=dtype, attention_fn=attention_fn)
+        drop_path_rate=config.drop_path_rate, dtype=dtype, attention_fn=attention_fn,
+        block_fn=block_fn, collect_features=needs_features)
     student_params = init_params(student_module, k_student)
 
     aux_params = init_aux_params(

@@ -113,6 +113,44 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm-shaped params (same names/inits as nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {"scale": self.param("scale", nn.initializers.ones,
+                                    (self.dim,), jnp.float32),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.dim,), jnp.float32)}
+
+
+class _AttnParams(nn.Module):
+    """Declares the attention param subtree (qkv + proj) without computing."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, self.dim * 3, name="qkv")()
+        wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        return {"qkv": {"kernel": wq, "bias": bq},
+                "proj": {"kernel": wp, "bias": bp}}
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return {"fc1": {"kernel": w1, "bias": b1},
+                "fc2": {"kernel": w2, "bias": b2}}
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -167,10 +205,35 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
     mlp_fn: Optional[Callable] = None
+    block_fn: Optional[Callable] = None    # fully-fused block kernel
+    collect_features: bool = True          # False skips the feature write in block_fn
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> Tuple[jax.Array, jax.Array]:
         D = x.shape[-1]
+        if self.block_fn is not None and self.qkv_bias:
+            # Fully-fused path: declare the identical param tree, draw the
+            # droppath branch scales (timm: two independent per-sample masks,
+            # one per residual branch), and run the whole block in one kernel.
+            params = {
+                "norm1": _LNParams(D, name="norm1")(),
+                "attn": _AttnParams(D, name="attn")(),
+                "norm2": _LNParams(D, name="norm2")(),
+                "mlp": _MlpParams(D, int(D * self.mlp_ratio), name="mlp")(),
+            }
+            s_attn = s_mlp = None
+            if (not deterministic and self.drop_path_rate > 0.0
+                    and self.has_rng("droppath")):
+                keep = 1.0 - self.drop_path_rate
+                B = x.shape[0]
+                k1 = self.make_rng("droppath")
+                k2 = self.make_rng("droppath")
+                s_attn = jax.random.bernoulli(k1, keep, (B,)).astype(jnp.float32) / keep
+                s_mlp = jax.random.bernoulli(k2, keep, (B,)).astype(jnp.float32) / keep
+            return self.block_fn(x, params, num_heads=self.num_heads,
+                                 ln_eps=self.ln_eps, scale_attn=s_attn,
+                                 scale_mlp=s_mlp,
+                                 need_features=self.collect_features)
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.qkv_bias, self.dtype,
                       self.attention_fn, name="attn")(y)
@@ -199,6 +262,8 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
     mlp_fn: Optional[Callable] = None
+    block_fn: Optional[Callable] = None    # fully-fused block kernel (TPU)
+    collect_features: bool = True          # whether KD needs the per-block features
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
@@ -233,7 +298,7 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x, mlp_out = Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                                dpr[i], cfg.ln_eps, self.dtype, self.attention_fn,
-                               self.mlp_fn,
+                               self.mlp_fn, self.block_fn, self.collect_features,
                                name=f"blocks_{i}")(x, deterministic=not train)
             feats.append(mlp_out)
 

@@ -1,0 +1,476 @@
+"""Fully-fused ViT transformer block (Pallas, TPU).
+
+Round-1 profiling (benchmarks/bench_components.py + per-op microbench) put
+the unfused block at 7-15% MFU: the [B,N,3,H,hd] qkv split/merge transposes
+cost ~0.7 ms/block at batch 256, every LayerNorm/residual is an HBM round
+trip, and the per-(batch*head) flash-attention grid runs [198,64] matmuls at
+~40% MXU utilization. This kernel runs ONE grid step per batch element and
+keeps the entire block resident in VMEM:
+
+    LN1 -> QKV matmul -> per-head attention -> proj -> +residual
+        -> LN2 -> MLP (GELU) -> +residual
+
+DeiT shapes make this easy: one element's activations (x 198x192,
+qkv 198x576, hidden 198x768, one 198x198 score matrix at a time) total
+under 2 MB; all block weights are another ~1 MB bf16 — far inside the
+~16 MB VMEM budget even for the DeiT-Small teacher (D=384).
+
+The backward pass stores only the block *input* (plus the droppath scales)
+and recomputes the forward inside one grid step — flash-attention-style
+recomputation extended to the whole block — then backprops in reverse,
+accumulating fp32 weight grads across the (sequential) grid.
+
+Heads are unrolled statically; q/k/v per head are static 64-aligned lane
+slices of the packed [N, 3D] qkv buffer (timm packs the qkv output dim as
+(3, H, hd) — reference tests/torch_ref.py mirrors this), so no transpose
+ever materializes.
+
+Stochastic depth: the residual adds take per-sample branch scales
+(mask/keep_prob in {0, 1/keep}), drawn outside — `x + s*branch(LN(x))` is
+exactly timm DropPath semantics (reference model/models.py builds timm
+blocks; drop_path rate ramps linearly across depth).
+
+Per-block hook features (post-MLP, pre-droppath, pre-residual — what the
+reference's forward hooks capture, model/models.py:181-199) are an optional
+second output so logit-KD recipes don't pay the extra [B,N,D] write.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU test runs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+# -----------------------------------------------------------------------------
+# Shared math (identical formulas in fwd kernel, bwd recompute, and reference)
+# -----------------------------------------------------------------------------
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7); Pallas TPU has no erf."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
+
+
+def _gelu_grad(x):
+    phi = jnp.exp(-0.5 * x * x) * _INV_SQRT2PI
+    return 0.5 * (1.0 + _erf(x * _INV_SQRT2)) + x * phi
+
+
+def _ln_fwd(x32, gamma, beta, eps):
+    """Returns (y, xhat, rstd). All fp32, reductions over the lane dim."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    return xhat * gamma + beta, xhat, rstd
+
+
+def _ln_bwd(dy, xhat, rstd, gamma):
+    """dx for y = xhat*gamma + beta. Returns (dx, dgamma_rows, dbeta_rows) —
+    the weight grads still need a sum over rows by the caller."""
+    dxhat = dy * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * rstd
+    return dx, dy * xhat, dy
+
+
+def _attention_fwd(qkv32, D, H, scale, dtype):
+    """Per-head attention over a packed [N, 3D] fp32 qkv buffer.
+
+    Returns (merged [N, D] fp32, per-head probs tuple for the backward)."""
+    hd = D // H
+    outs = []
+    for h in range(H):
+        q = qkv32[:, h * hd:(h + 1) * hd]
+        k = qkv32[:, D + h * hd:D + (h + 1) * hd]
+        v = qkv32[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            (q * scale).astype(dtype), k.astype(dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(dtype), v.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp):
+    """The whole block forward in fp32-accumulated math on one element.
+
+    Returns (out, feat) where feat is the post-MLP pre-residual hidden state.
+    """
+    D = x32.shape[-1]
+    scale = (D // H) ** -0.5
+
+    y, _, _ = _ln_fwd(x32, w["g1"], w["b1"], eps)
+    qkv = jax.lax.dot_general(y.astype(dtype), w["wqkv"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) + w["bqkv"]
+    merged = _attention_fwd(qkv, D, H, scale, dtype)
+    attn = jax.lax.dot_general(merged.astype(dtype), w["wproj"],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + w["bproj"]
+    x2 = x32 + s_attn * attn
+
+    z, _, _ = _ln_fwd(x2, w["g2"], w["b2"], eps)
+    hpre = jax.lax.dot_general(z.astype(dtype), w["w1"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + w["bf1"]
+    h = _gelu(hpre)
+    feat = jax.lax.dot_general(h.astype(dtype), w["w2"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + w["bf2"]
+    out = x2 + s_mlp * feat
+    return out, feat
+
+
+_W_NAMES = ("g1", "b1", "wqkv", "bqkv", "wproj", "bproj",
+            "g2", "b2", "w1", "bf1", "w2", "bf2")
+
+
+def _weight_arrays(params: Dict[str, Any], dtype) -> Tuple[jax.Array, ...]:
+    """Flatten the Flax block param tree into the kernel operand order.
+
+    Matmul weights are cast to the compute dtype (bf16 MXU inputs); LN params
+    and biases stay fp32 (they only enter fp32 VPU adds)."""
+    D = params["norm1"]["scale"].shape[-1]
+    H4 = params["mlp"]["fc1"]["kernel"].shape[-1]
+    return (
+        params["norm1"]["scale"].reshape(1, D).astype(jnp.float32),
+        params["norm1"]["bias"].reshape(1, D).astype(jnp.float32),
+        params["attn"]["qkv"]["kernel"].astype(dtype),
+        params["attn"]["qkv"]["bias"].reshape(1, 3 * D).astype(jnp.float32),
+        params["attn"]["proj"]["kernel"].astype(dtype),
+        params["attn"]["proj"]["bias"].reshape(1, D).astype(jnp.float32),
+        params["norm2"]["scale"].reshape(1, D).astype(jnp.float32),
+        params["norm2"]["bias"].reshape(1, D).astype(jnp.float32),
+        params["mlp"]["fc1"]["kernel"].astype(dtype),
+        params["mlp"]["fc1"]["bias"].reshape(1, H4).astype(jnp.float32),
+        params["mlp"]["fc2"]["kernel"].astype(dtype),
+        params["mlp"]["fc2"]["bias"].reshape(1, D).astype(jnp.float32),
+    )
+
+
+def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
+    w_refs = rest[:len(_W_NAMES)]
+    out_refs = rest[len(_W_NAMES):]
+    w = {name: r[...] for name, r in zip(_W_NAMES, w_refs)}
+    b = pl.program_id(0)
+    x32 = x_ref[0].astype(jnp.float32)
+    out, feat = _block_math_fwd(x32, w, eps, H, x_ref.dtype,
+                                s_attn_ref[b, 0], s_mlp_ref[b, 0])
+    out_refs[0][0] = out.astype(out_refs[0].dtype)
+    if need_feat:
+        out_refs[1][0] = feat.astype(out_refs[1].dtype)
+
+
+def _row_spec(n, d):
+    return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _w_specs(ws):
+    return [pl.BlockSpec(w.shape, lambda b, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM) for w in ws]
+
+
+def _scale_spec(B):
+    # whole [B,1] array in SMEM (block==array is always legal); kernels index
+    # the current element with pl.program_id(0)
+    return pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
+    B, N, D = x.shape
+    out_shape = [jax.ShapeDtypeStruct((B, N, D), x.dtype)]
+    out_specs = [_row_spec(N, D)]
+    if need_feat:
+        out_shape.append(jax.ShapeDtypeStruct((B, N, D), x.dtype))
+        out_specs.append(_row_spec(N, D))
+    flops_elem = 4 * N * D * D * 3 + 4 * N * N * D + 16 * N * D * D
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat),
+        grid=(B,),
+        in_specs=[_row_spec(N, D), _scale_spec(B), _scale_spec(B)] + _w_specs(ws),
+        out_specs=tuple(out_specs) if need_feat else out_specs[0],
+        out_shape=tuple(out_shape) if need_feat else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops_elem,
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize * (3 if need_feat else 2),
+            transcendentals=B * N * D * 5),
+    )(x, s_attn, s_mlp, *ws)
+    return outs if need_feat else (outs, None)
+
+
+# -----------------------------------------------------------------------------
+# Backward: recompute the forward per element, then reverse it.
+# -----------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
+    n_w = len(_W_NAMES)
+    w_refs = rest[:n_w]
+    if need_feat:
+        g_out_ref, g_feat_ref = rest[n_w], rest[n_w + 1]
+        dx_ref = rest[n_w + 2]
+        dw_refs = rest[n_w + 3:]
+    else:
+        g_out_ref = rest[n_w]
+        g_feat_ref = None
+        dx_ref = rest[n_w + 1]
+        dw_refs = rest[n_w + 2:]
+
+    w = {name: r[...] for name, r in zip(_W_NAMES, w_refs)}
+    dtype = x_ref.dtype
+    D = x_ref.shape[-1]
+    hd = D // H
+    scale = hd ** -0.5
+    b = pl.program_id(0)
+    s_attn = s_attn_ref[b, 0]
+    s_mlp = s_mlp_ref[b, 0]
+
+    # ---- recompute forward, keeping what the backward needs
+    x32 = x_ref[0].astype(jnp.float32)
+    y, xhat1, rstd1 = _ln_fwd(x32, w["g1"], w["b1"], eps)
+    y_lp = y.astype(dtype)
+    qkv = jax.lax.dot_general(y_lp, w["wqkv"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) + w["bqkv"]
+    merged = _attention_fwd(qkv, D, H, scale, dtype)
+    merged_lp = merged.astype(dtype)
+    attn = jax.lax.dot_general(merged_lp, w["wproj"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + w["bproj"]
+    x2 = x32 + s_attn * attn
+    z, xhat2, rstd2 = _ln_fwd(x2, w["g2"], w["b2"], eps)
+    z_lp = z.astype(dtype)
+    hpre = jax.lax.dot_general(z_lp, w["w1"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + w["bf1"]
+    h = _gelu(hpre)
+    h_lp = h.astype(dtype)
+
+    # ---- backward
+    g_out = g_out_ref[0].astype(jnp.float32)
+    g_feat = g_out * s_mlp
+    if need_feat:
+        g_feat = g_feat + g_feat_ref[0].astype(jnp.float32)
+    g_feat_lp = g_feat.astype(dtype)
+
+    # MLP: feat = h @ w2 + bf2
+    dw2 = jax.lax.dot_general(h_lp, g_feat_lp, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbf2 = jnp.sum(g_feat, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(g_feat_lp, w["w2"], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dhpre = dh * _gelu_grad(hpre)
+    dhpre_lp = dhpre.astype(dtype)
+    dw1 = jax.lax.dot_general(z_lp, dhpre_lp, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbf1 = jnp.sum(dhpre, axis=0, keepdims=True)
+    dz = jax.lax.dot_general(dhpre_lp, w["w1"], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx2_ln, dg2_rows, db2_rows = _ln_bwd(dz, xhat2, rstd2, w["g2"])
+    dg2 = jnp.sum(dg2_rows, axis=0, keepdims=True)
+    db2 = jnp.sum(db2_rows, axis=0, keepdims=True)
+    dx2 = g_out + dx2_ln
+
+    # proj: attn = merged @ wproj + bproj ; x2 = x + s_attn*attn
+    dattn = dx2 * s_attn
+    dattn_lp = dattn.astype(dtype)
+    dwproj = jax.lax.dot_general(merged_lp, dattn_lp, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dbproj = jnp.sum(dattn, axis=0, keepdims=True)
+    dmerged = jax.lax.dot_general(dattn_lp, w["wproj"], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    # attention backward per head, rebuilding p from qkv
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for i in range(H):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, D + i * hd:D + (i + 1) * hd]
+        v = qkv[:, 2 * D + i * hd:2 * D + (i + 1) * hd]
+        s = jax.lax.dot_general((q * scale).astype(dtype), k.astype(dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p_lp = p.astype(dtype)
+        do_h = dmerged[:, i * hd:(i + 1) * hd]
+        do_lp = do_h.astype(dtype)
+        dv = jax.lax.dot_general(p_lp, do_lp, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_lp, v.astype(dtype), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lp = ds.astype(dtype)
+        dq = jax.lax.dot_general(ds_lp, k.astype(dtype), (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds_lp, (q * scale).astype(dtype),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv_parts_q.append(dq)
+        dqkv_parts_k.append(dk)
+        dqkv_parts_v.append(dv)
+    dqkv = jnp.concatenate(dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)
+    dqkv_lp = dqkv.astype(dtype)
+
+    # qkv = LN1(x) @ wqkv + bqkv
+    dwqkv = jax.lax.dot_general(y_lp, dqkv_lp, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dy = jax.lax.dot_general(dqkv_lp, w["wqkv"], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ln, dg1_rows, db1_rows = _ln_bwd(dy, xhat1, rstd1, w["g1"])
+    dg1 = jnp.sum(dg1_rows, axis=0, keepdims=True)
+    db1 = jnp.sum(db1_rows, axis=0, keepdims=True)
+
+    dx_ref[0] = (dx2 + dx_ln).astype(dx_ref.dtype)
+
+    tiles = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
+             dw1, dbf1, dw2, dbf2)
+
+    @pl.when(b == 0)
+    def _():
+        for r, t in zip(dw_refs, tiles):
+            r[...] = t
+
+    @pl.when(b > 0)
+    def _():
+        for r, t in zip(dw_refs, tiles):
+            r[...] += t
+
+
+def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
+    B, N, D = x.shape
+    need_feat = g_feat is not None
+    g_in = [g_out] + ([g_feat] if need_feat else [])
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat),
+        grid=(B,),
+        in_specs=([_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
+                  + _w_specs(ws) + [_row_spec(N, D)] * len(g_in)),
+        out_specs=tuple([_row_spec(N, D)] + _w_specs(ws)),
+        out_shape=tuple([jax.ShapeDtypeStruct((B, N, D), x.dtype)] + dw_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * (4 * N * D * D * 3 + 4 * N * N * D + 16 * N * D * D),
+            bytes_accessed=4 * B * N * D * x.dtype.itemsize,
+            transcendentals=B * N * D * 10),
+    )(x, s_attn, s_mlp, *ws, *g_in)
+    return outs[0], outs[1:]
+
+
+# -----------------------------------------------------------------------------
+# custom-VJP wrappers (one per need_feat variant, selected by the public API)
+# -----------------------------------------------------------------------------
+
+def _make_fused_block(need_feat: bool):
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+    def fused(x, scales, ws, eps, H):
+        out, feat = _fused_block_fwd_call(x, scales[0], scales[1], ws,
+                                          eps=eps, H=H, need_feat=need_feat)
+        return (out, feat) if need_feat else out
+
+    def fwd(x, scales, ws, eps, H):
+        return fused(x, scales, ws, eps, H), (x, scales, ws)
+
+    def bwd(eps, H, res, g):
+        x, scales, ws = res
+        if need_feat:
+            g_out, g_feat = g
+        else:
+            g_out, g_feat = g, None
+        dx, dws = _fused_block_bwd_call(x, scales[0], scales[1], ws, g_out,
+                                        g_feat, eps=eps, H=H)
+        dws = tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws))
+        # droppath scales are non-trainable masks — zero cotangent
+        return dx, (jnp.zeros_like(scales[0]), jnp.zeros_like(scales[1])), dws
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+_fused_block_feat = _make_fused_block(True)
+_fused_block_nofeat = _make_fused_block(False)
+
+
+def fused_vit_block(x: jax.Array, params: Dict[str, Any], *, num_heads: int,
+                    ln_eps: float = 1e-6,
+                    scale_attn: Optional[jax.Array] = None,
+                    scale_mlp: Optional[jax.Array] = None,
+                    need_features: bool = True
+                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Apply one fused pre-norm ViT block.
+
+    x: [B, N, D]; params: the Flax Block subtree (norm1/attn/norm2/mlp);
+    scale_attn/scale_mlp: per-sample [B] droppath branch scales (None = 1).
+    Returns (out, features) with features None when need_features=False.
+    """
+    B = x.shape[0]
+    ones = jnp.ones((B, 1), jnp.float32)
+    s_a = ones if scale_attn is None else scale_attn.reshape(B, 1).astype(jnp.float32)
+    s_m = ones if scale_mlp is None else scale_mlp.reshape(B, 1).astype(jnp.float32)
+    ws = _weight_arrays(params, x.dtype)
+    if need_features:
+        return _fused_block_feat(x, (s_a, s_m), ws, ln_eps, num_heads)
+    return _fused_block_nofeat(x, (s_a, s_m), ws, ln_eps, num_heads), None
+
+
+def reference_vit_block(x, params, *, num_heads, ln_eps=1e-6,
+                        scale_attn=None, scale_mlp=None):
+    """Pure-JAX (XLA) forward with the same fp32-accumulation structure, for
+    parity tests of the kernel."""
+    B = x.shape[0]
+    ws = _weight_arrays(params, x.dtype)
+    w = dict(zip(_W_NAMES, ws))
+    s_a = jnp.ones((B,), jnp.float32) if scale_attn is None else \
+        scale_attn.reshape(B).astype(jnp.float32)
+    s_m = jnp.ones((B,), jnp.float32) if scale_mlp is None else \
+        scale_mlp.reshape(B).astype(jnp.float32)
+
+    def one(xb, sa, sm):
+        return _block_math_fwd(xb.astype(jnp.float32), w, ln_eps, num_heads,
+                               x.dtype, sa, sm)
+
+    out, feat = jax.vmap(one)(x, s_a, s_m)
+    return out.astype(x.dtype), feat.astype(x.dtype)
+
+
+def use_fused_block() -> bool:
+    return _HAS_PLTPU and jax.default_backend() == "tpu"
+
+
+def best_block_fn(enabled: bool = True):
+    """block_fn for VisionTransformer: the fused kernel when on TPU, else None
+    (the model's unfused module path).
+
+    Callers should pass enabled=False when block weights are sharded over a
+    model axis (Megatron TP): the kernel consumes full weight matrices, so XLA
+    would insert per-step all-gathers and defeat the sharding."""
+    if enabled and use_fused_block():
+        return fused_vit_block
+    return None

@@ -233,7 +233,9 @@ def run(cfg) -> Dict[str, float]:
     student_eval = VisionTransformer(
         student.module.cfg, dtype=student.module.dtype,
         attention_fn=student.module.attention_fn,
-        mlp_fn=best_mlp_fn(cfg.flash_attention))
+        mlp_fn=best_mlp_fn(cfg.flash_attention),
+        block_fn=student.module.block_fn,
+        collect_features=False)  # eval never consumes the per-block features
     eval_step = build_eval_step(student_module=student_eval, aug=aug)
 
     # placement: batches split on the data axis; params/optimizer state follow

@@ -1,0 +1,129 @@
+"""Fused transformer-block kernel vs the unfused module path.
+
+The CPU test pins the pure-JAX reference implementation against the flax
+Block module (same math, different composition); the TPU-gated tests pin the
+Pallas kernel's forward and gradients against that reference and the whole
+VisionTransformer against its unfused self. Tolerances are a few bf16 ulps
+at the observed activation scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deltakd_tpu.models.vit import Block, ViTConfig, VisionTransformer
+from deltakd_tpu.ops.fused_block import (_HAS_PLTPU, fused_vit_block,
+                                         reference_vit_block)
+
+tpu_only = pytest.mark.skipif(
+    not (_HAS_PLTPU and jax.default_backend() == "tpu"),
+    reason="Pallas TPU backend unavailable (CPU test run)")
+
+D, H, N, B = 64, 2, 18, 4
+
+
+def _block_and_params(dtype=jnp.float32, seed=0):
+    blk = Block(num_heads=H, mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
+                ln_eps=1e-6, dtype=dtype)
+    params = blk.init({"params": jax.random.PRNGKey(seed)},
+                      jnp.zeros((1, N, D)), True)["params"]
+    # shift LN params off their ones/zeros init so LN grads are non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 977), p.shape, jnp.float32).astype(p.dtype),
+        params)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, N, D), dtype)
+    return blk, params, x
+
+
+def test_reference_block_matches_flax_module():
+    blk, params, x = _block_and_params()
+    out_m, feat_m = blk.apply({"params": params}, x, True)
+    out_r, feat_r = reference_vit_block(x, params, num_heads=H)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_m),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(feat_r), np.asarray(feat_m),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_reference_block_droppath_scales():
+    _, params, x = _block_and_params()
+    # scale 0 on both branches must be the identity
+    zero = jnp.zeros((B,))
+    out, _ = reference_vit_block(x, params, num_heads=H, scale_attn=zero,
+                                 scale_mlp=zero)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+@tpu_only
+def test_fused_block_forward_matches_reference():
+    _, params, x = _block_and_params(jnp.bfloat16)
+    sa = jax.random.uniform(jax.random.PRNGKey(5), (B,)) + 0.5
+    sm = jax.random.uniform(jax.random.PRNGKey(6), (B,)) + 0.5
+    out_f, feat_f = jax.jit(lambda x: fused_vit_block(
+        x, params, num_heads=H, scale_attn=sa, scale_mlp=sm))(x)
+    out_r, feat_r = jax.jit(lambda x: reference_vit_block(
+        x, params, num_heads=H, scale_attn=sa, scale_mlp=sm))(x)
+    scale = float(jnp.max(jnp.abs(out_r.astype(jnp.float32)))) + 1e-6
+    assert float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
+                                 - out_r.astype(jnp.float32)))) < 0.02 * scale
+    assert float(jnp.max(jnp.abs(feat_f.astype(jnp.float32)
+                                 - feat_r.astype(jnp.float32)))) < 0.02 * scale
+
+
+@tpu_only
+def test_fused_block_gradients_match_reference():
+    _, params, x = _block_and_params(jnp.bfloat16)
+
+    def loss(fn):
+        def f(p, x):
+            o, feat = fn(x, p, num_heads=H)
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.sin(feat.astype(jnp.float32))))
+        return f
+
+    gf = jax.jit(jax.grad(loss(fused_vit_block), argnums=(0, 1)))(params, x)
+    gr = jax.jit(jax.grad(loss(reference_vit_block), argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        denom = float(jnp.max(jnp.abs(b32))) + 1e-6
+        assert float(jnp.max(jnp.abs(a32 - b32))) < 2e-2 * denom
+
+
+@tpu_only
+def test_model_with_fused_blocks_matches_unfused():
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=D, depth=3,
+                    num_heads=H, num_classes=10, distilled=True)
+    unfused = VisionTransformer(cfg, dtype=jnp.bfloat16)
+    fused = VisionTransformer(cfg, dtype=jnp.bfloat16, block_fn=fused_vit_block)
+    params = unfused.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+    # identical param trees: the fused path declares the same names/shapes
+    p2 = fused.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 32, 32, 3)))["params"]
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, p2)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 32, 32, 3), jnp.float32)
+    o_u = unfused.apply({"params": params}, x, train=False)
+    o_f = fused.apply({"params": params}, x, train=False)
+    scale = float(jnp.max(jnp.abs(o_u.logits))) + 1e-6
+    assert float(jnp.max(jnp.abs(o_f.logits - o_u.logits))) < 0.02 * scale
+    for fu, fr in zip(o_f.features, o_u.features):
+        s = float(jnp.max(jnp.abs(fr.astype(jnp.float32)))) + 1e-6
+        assert float(jnp.max(jnp.abs(fu.astype(jnp.float32)
+                                     - fr.astype(jnp.float32)))) < 0.02 * s
+
+
+@tpu_only
+def test_model_fused_no_features_returns_none():
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=D, depth=2,
+                    num_heads=H, num_classes=10)
+    m = VisionTransformer(cfg, dtype=jnp.bfloat16, block_fn=fused_vit_block,
+                          collect_features=False)
+    params = m.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 32, 32, 3)))["params"]
+    out = m.apply({"params": params},
+                  jnp.zeros((B, 32, 32, 3)), train=False)
+    assert all(f is None for f in out.features)
+    assert out.logits.shape == (B, 10)
