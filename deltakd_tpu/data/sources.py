@@ -97,29 +97,21 @@ def cifar_source(root: str, dataset: str, is_train: bool) -> ArraySource:
     return ArraySource(x, y, DATASET_STATS[dataset]["num_classes"])
 
 
-class FolderSource:
-    """ImageFolder-style tree: <root>/<class_name>/<image files>.
+class FileListSource:
+    """Lazily-decoded image files from an explicit (path, label) list.
 
-    Decodes lazily with a thread pool; each image is standardized to a fixed
+    Decodes with a thread pool; each image is standardized to a fixed
     ``raw_size`` square canvas (shorter-side resize + center crop, bilinear).
     """
 
-    def __init__(self, root: str, raw_size: int = 256, num_workers: int = 8):
+    def __init__(self, samples: List[Tuple[str, int]], num_classes: int,
+                 raw_size: int = 256, num_workers: int = 8):
         from PIL import Image  # noqa: F401  (fail early if PIL missing)
 
-        classes = sorted(d for d in os.listdir(root)
-                         if os.path.isdir(os.path.join(root, d)))
-        if not classes:
-            raise FileNotFoundError(f"No class directories under {root}")
-        self.class_to_idx = {c: i for i, c in enumerate(classes)}
-        self.samples: List[Tuple[str, int]] = []
-        for c in classes:
-            cdir = os.path.join(root, c)
-            for fname in sorted(os.listdir(cdir)):
-                if fname.lower().endswith(IMG_EXTENSIONS):
-                    self.samples.append((os.path.join(cdir, fname),
-                                         self.class_to_idx[c]))
-        self.num_classes = len(classes)
+        if not samples:
+            raise FileNotFoundError("empty sample list")
+        self.samples = samples
+        self.num_classes = num_classes
         self.raw_size = raw_size
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
@@ -152,6 +144,98 @@ class FolderSource:
         return images, labels
 
 
+class FolderSource(FileListSource):
+    """ImageFolder-style tree: <root>/<class_name>/<image files> (the layout
+    torchvision.datasets.ImageFolder consumes, reference datasets.py:120-124).
+    """
+
+    def __init__(self, root: str, raw_size: int = 256, num_workers: int = 8):
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise FileNotFoundError(f"No class directories under {root}")
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    samples.append((os.path.join(cdir, fname),
+                                    self.class_to_idx[c]))
+        super().__init__(samples, len(classes), raw_size, num_workers)
+
+
+def _first_dir(*candidates: str) -> str:
+    for c in candidates:
+        if os.path.isdir(c):
+            return c
+    raise FileNotFoundError(f"none of {candidates} exists")
+
+
+def flowers_source(root: str, is_train: bool, raw_size: int,
+                   num_workers: int) -> FileListSource:
+    """Oxford Flowers-102 in the exact layout torchvision.datasets.Flowers102
+    downloads (reference datasets.py:110-117 with split train/val):
+    <root>/flowers-102/jpg/image_%05d.jpg plus the .mat label/split files
+    (``imagelabels.mat`` key 'labels', ``setid.mat`` keys 'trnid'/'valid',
+    both 1-indexed)."""
+    from scipy.io import loadmat
+
+    base = _first_dir(os.path.join(root, "flowers-102"), root)
+    labels = np.atleast_1d(loadmat(os.path.join(base, "imagelabels.mat"),
+                                   squeeze_me=True)["labels"])
+    setid = loadmat(os.path.join(base, "setid.mat"), squeeze_me=True)
+    ids = np.atleast_1d(setid["trnid" if is_train else "valid"])
+    samples = [(os.path.join(base, "jpg", f"image_{int(i):05d}.jpg"),
+                int(labels[int(i) - 1]) - 1) for i in ids]
+    return FileListSource(samples, DATASET_STATS["flowers"]["num_classes"],
+                          raw_size, num_workers)
+
+
+def stanford_cars_source(root: str, is_train: bool, raw_size: int,
+                         num_workers: int) -> FileListSource:
+    """Stanford Cars in torchvision.datasets.StanfordCars layout (reference
+    datasets.py:96-103, split train/test): <root>/stanford_cars/ with
+    ``devkit/cars_train_annos.mat`` + ``cars_train/`` for train and
+    ``cars_test_annos_withlabels.mat`` + ``cars_test/`` for test; annotations
+    are a struct array with 'fname' and 1-indexed 'class' fields."""
+    from scipy.io import loadmat
+
+    base = _first_dir(os.path.join(root, "stanford_cars"), root)
+    if is_train:
+        annos_path = os.path.join(base, "devkit", "cars_train_annos.mat")
+        img_dir = os.path.join(base, "cars_train")
+    else:
+        annos_path = os.path.join(base, "cars_test_annos_withlabels.mat")
+        img_dir = os.path.join(base, "cars_test")
+    annotations = loadmat(annos_path, squeeze_me=True)["annotations"]
+    samples = [(os.path.join(img_dir, str(a["fname"])), int(a["class"]) - 1)
+               for a in np.atleast_1d(annotations)]
+    return FileListSource(samples, DATASET_STATS["stanford_cars"]["num_classes"],
+                          raw_size, num_workers)
+
+
+def caltech256_source(root: str, raw_size: int,
+                      num_workers: int) -> FileListSource:
+    """Caltech-256 in torchvision.datasets.Caltech256 layout (reference
+    datasets.py:104-109): <root>/caltech256/256_ObjectCategories/<cat>/<img>.
+    Targets are indices into the sorted category list; torchvision (and hence
+    the reference) has no train/val split for this dataset — the same full
+    set serves both, which we mirror."""
+    base = _first_dir(os.path.join(root, "caltech256", "256_ObjectCategories"),
+                      os.path.join(root, "256_ObjectCategories"))
+    categories = sorted(d for d in os.listdir(base)
+                        if os.path.isdir(os.path.join(base, d)))
+    samples: List[Tuple[str, int]] = []
+    for idx, cat in enumerate(categories):
+        cdir = os.path.join(base, cat)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                samples.append((os.path.join(cdir, fname), idx))
+    return FileListSource(samples, DATASET_STATS["caltech256"]["num_classes"],
+                          raw_size, num_workers)
+
+
 def build_source(cfg, is_train: bool):
     """Dataset-name dispatch (reference dataset/datasets.py:86-124)."""
     name = cfg.dataset
@@ -172,6 +256,22 @@ def build_source(cfg, is_train: bool):
     # large or a 384px model would upsample a destructively cropped 256px
     # canvas.
     raw_size = max(256, int(round(cfg.input_size / cfg.eval_crop_ratio)))
+    # Native torchvision archive layouts first (what the reference's
+    # datasets.StanfordCars/Caltech256/Flowers102 consume on disk,
+    # reference datasets.py:96-117); fall through to ImageFolder trees.
+    native = {
+        "flowers": lambda: flowers_source(cfg.data_path, is_train, raw_size,
+                                          cfg.num_workers),
+        "stanford_cars": lambda: stanford_cars_source(
+            cfg.data_path, is_train, raw_size, cfg.num_workers),
+        "caltech256": lambda: caltech256_source(cfg.data_path, raw_size,
+                                                cfg.num_workers),
+    }
+    if name in native:
+        try:
+            return native[name]()
+        except FileNotFoundError:
+            pass  # pre-converted ImageFolder tree below
     candidates = [
         os.path.join(cfg.data_path, split),
         os.path.join(cfg.data_path, name, split),

@@ -212,7 +212,8 @@ def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
     if need_feat:
         out_shape.append(jax.ShapeDtypeStruct((B, N, D), x.dtype))
         out_specs.append(_row_spec(N, D))
-    flops_elem = 4 * N * D * D * 3 + 4 * N * N * D + 16 * N * D * D
+    # qkv 6ND² + proj 2ND² + mlp 16ND² + attention 4N²D (matmul FLOPs)
+    flops_elem = 24 * N * D * D + 4 * N * N * D
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat),
         grid=(B,),
@@ -376,7 +377,7 @@ def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
         out_specs=tuple([_row_spec(N, D)] + _w_specs(ws)),
         out_shape=tuple([jax.ShapeDtypeStruct((B, N, D), x.dtype)] + dw_shapes),
         cost_estimate=pl.CostEstimate(
-            flops=3 * B * (4 * N * D * D * 3 + 4 * N * N * D + 16 * N * D * D),
+            flops=3 * B * (24 * N * D * D + 4 * N * N * D),
             bytes_accessed=4 * B * N * D * x.dtype.itemsize,
             transcendentals=B * N * D * 10),
     )(x, s_attn, s_mlp, *ws, *g_in)

@@ -317,3 +317,120 @@ def test_tfdata_loader_matches_python_loader(tmp_path):
         # decoders differ (TF resize is not antialiased, PIL's is — on
         # noise images that's a visible but bounded delta)
         assert np.mean(np.abs(ti.astype(np.int32) - pi.astype(np.int32))) < 25.0
+
+
+# -----------------------------------------------------------------------------
+# Native torchvision dataset layouts (reference dataset/datasets.py:96-117)
+# -----------------------------------------------------------------------------
+
+def _cfg_for(tmp_path, dataset):
+    from deltakd_tpu.configs import TrainConfig
+
+    return TrainConfig(dataset=dataset, data_path=str(tmp_path),
+                       input_size=224, num_workers=2)
+
+
+def _save_img(path, seed, hw=16):
+    arr = np.random.RandomState(seed).randint(0, 255, (hw, hw, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def test_flowers102_native_layout(tmp_path):
+    """Exact torchvision.datasets.Flowers102 on-disk format: jpg/image_%05d.jpg
+    + 1-indexed imagelabels.mat / setid.mat splits."""
+    from scipy.io import savemat
+
+    from deltakd_tpu.data.sources import build_source
+
+    base = tmp_path / "flowers-102"
+    (base / "jpg").mkdir(parents=True)
+    n = 10
+    for i in range(1, n + 1):
+        _save_img(base / "jpg" / f"image_{i:05d}.jpg", i)
+    labels = np.arange(1, n + 1) % 102 + 1            # 1-indexed classes
+    savemat(base / "imagelabels.mat", {"labels": labels.reshape(1, -1)})
+    savemat(base / "setid.mat", {"trnid": np.array([[1, 3, 5, 7]]),
+                                 "valid": np.array([[2, 4]]),
+                                 "tstid": np.array([[6, 8, 9, 10]])})
+
+    train = build_source(_cfg_for(tmp_path, "flowers"), is_train=True)
+    val = build_source(_cfg_for(tmp_path, "flowers"), is_train=False)
+    assert len(train) == 4 and len(val) == 2
+    assert train.num_classes == 102
+    imgs, lab = train.get_batch(np.array([0, 1]))
+    assert imgs.shape == (2, 256, 256, 3) and imgs.dtype == np.uint8
+    # image ids 1 and 3 -> labels[0]-1, labels[2]-1
+    np.testing.assert_array_equal(lab, [labels[0] - 1, labels[2] - 1])
+
+
+def test_stanford_cars_native_layout(tmp_path):
+    """torchvision.datasets.StanfordCars format: devkit .mat struct annotations
+    with 'fname' and 1-indexed 'class' fields."""
+    from scipy.io import savemat
+
+    from deltakd_tpu.data.sources import build_source
+
+    base = tmp_path / "stanford_cars"
+    (base / "devkit").mkdir(parents=True)
+    (base / "cars_train").mkdir()
+    (base / "cars_test").mkdir()
+
+    def annos(names_classes):
+        rec = np.zeros((len(names_classes),),
+                       dtype=[("fname", "O"), ("class", "O"), ("bbox_x1", "O")])
+        for i, (f, c) in enumerate(names_classes):
+            rec[i] = (f, c, 0)
+        return rec
+
+    train_annos = [("00001.jpg", 14), ("00002.jpg", 3), ("00003.jpg", 196)]
+    test_annos = [("00001.jpg", 7), ("00002.jpg", 1)]
+    for f, _ in train_annos:
+        _save_img(base / "cars_train" / f, hash(f) % 100)
+    for f, _ in test_annos:
+        _save_img(base / "cars_test" / f, hash(f) % 100 + 1)
+    savemat(base / "devkit" / "cars_train_annos.mat",
+            {"annotations": annos(train_annos)})
+    savemat(base / "cars_test_annos_withlabels.mat",
+            {"annotations": annos(test_annos)})
+
+    train = build_source(_cfg_for(tmp_path, "stanford_cars"), is_train=True)
+    test = build_source(_cfg_for(tmp_path, "stanford_cars"), is_train=False)
+    assert len(train) == 3 and len(test) == 2
+    assert train.num_classes == 196
+    _, lab = train.get_batch(np.array([0, 1, 2]))
+    np.testing.assert_array_equal(lab, [13, 2, 195])  # 1-indexed -> 0-indexed
+    _, lab = test.get_batch(np.array([0, 1]))
+    np.testing.assert_array_equal(lab, [6, 0])
+
+
+def test_caltech256_native_layout(tmp_path):
+    """torchvision.datasets.Caltech256 format: 256_ObjectCategories/<cat>/...;
+    targets index the sorted category list; no train/val split (reference
+    datasets.py:104-109 uses the full set for both)."""
+    from deltakd_tpu.data.sources import build_source
+
+    base = tmp_path / "caltech256" / "256_ObjectCategories"
+    for cat, n in (("001.ak47", 2), ("002.american-flag", 1), ("010.beer-mug", 3)):
+        (base / cat).mkdir(parents=True)
+        for i in range(1, n + 1):
+            _save_img(base / cat / f"{cat[:3]}_{i:04d}.jpg", n * 10 + i)
+
+    train = build_source(_cfg_for(tmp_path, "caltech256"), is_train=True)
+    val = build_source(_cfg_for(tmp_path, "caltech256"), is_train=False)
+    assert len(train) == len(val) == 6
+    _, lab = train.get_batch(np.arange(6))
+    np.testing.assert_array_equal(lab, [0, 0, 1, 2, 2, 2])
+
+
+def test_native_layout_falls_back_to_imagefolder(tmp_path):
+    """A pre-converted <root>/<dataset>/{train,val} tree still works when the
+    native archive layout is absent."""
+    from deltakd_tpu.data.sources import build_source
+
+    for split in ("train", "val"):
+        for cls in ("c0", "c1"):
+            d = tmp_path / "flowers" / split / cls
+            d.mkdir(parents=True)
+            _save_img(d / "x.jpg", len(split))
+    src = build_source(_cfg_for(tmp_path, "flowers"), is_train=True)
+    assert len(src) == 2 and src.num_classes == 2
