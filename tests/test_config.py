@@ -97,3 +97,35 @@ def test_sweep_config_parser():
     params = sample_params(spec["parameters"], rng)
     assert params["lrkd_rank"] in (16, 32, 64, 128)
     assert 0.1 <= params["lrkd_alpha"] <= 0.3
+
+
+def test_bayes_sweep_converges_on_quadratic():
+    """GP-EI search (the local analog of the reference's wandb Bayes agent,
+    exp/lrkd_sweep_config.yaml:8) must respect the space and beat its random
+    warmup trials on a smooth objective."""
+    import random
+
+    from deltakd_tpu.cli.sweep import _mini_yaml, bayes_suggest
+
+    spec = _mini_yaml("exp/lrkd_sweep_config.yaml")["parameters"]
+
+    def objective(p):  # peak at alpha=0.25, beta=0.15, gamma=0.2, rank=64
+        return -(
+            (p["lrkd_alpha"] - 0.25) ** 2 + (p["lrkd_beta"] - 0.15) ** 2
+            + (p["lrkd_gamma"] - 0.2) ** 2
+            + 0.005 * abs(p["lrkd_rank"] - 64) / 112)
+
+    rng = random.Random(3)
+    history = []
+    for _ in range(20):
+        params = bayes_suggest(spec, history, rng)
+        assert params["lrkd_rank"] in (16, 32, 64, 128)
+        assert 0.1 <= params["lrkd_alpha"] <= 0.3
+        assert 0.1 <= params["lrkd_beta"] <= 0.3
+        assert 0.1 <= params["lrkd_gamma"] <= 0.3
+        history.append((params, objective(params)))
+
+    warmup_best = max(s for _, s in history[:4])
+    final_best = max(s for _, s in history)
+    assert final_best > warmup_best  # the surrogate actually improved things
+    assert final_best > -0.005       # and got near the optimum
