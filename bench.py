@@ -28,10 +28,10 @@ import numpy as np
 A100_DDP_ESTIMATE_IMG_PER_SEC = 1800.0
 
 
-def main(batch_size: int = 128, steps: int = 40, warmup: int = 3,
-         distillation_type: str = "soft"):
-    """Per-chip batch 128 is v5e's measured sweet spot with the fused block
-    kernel (round-2 scan: 48→2870, 64→2904, 96→2928, 128→3039, 256→2839
+def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
+         distillation_type: str = "soft", e2e: bool = True):
+    """Per-chip batch is nearly free with the fused block kernel + subset-
+    gated augmentation (round-2 scan: 96→3461, 128→3507, 192→3543, 256→3523
     img/s; round 1 peaked at batch 48 with 2353); the global batch of a
     recipe comes from the data-parallel axis, so per-chip batch is a free
     throughput knob."""
@@ -99,11 +99,12 @@ def main(batch_size: int = 128, steps: int = 40, warmup: int = 3,
     n_chips = len(jax.devices())
     per_chip = img_per_sec / n_chips
 
-    e2e = None
-    try:
-        e2e = e2e_images_per_sec(step, state, t_params, key)
-    except Exception as exc:  # the headline must survive a broken host path
-        print(f"[bench] e2e loader benchmark failed: {exc}")
+    e2e_rate = None
+    if e2e:
+        try:
+            e2e_rate = e2e_images_per_sec(step, state, t_params, key)
+        except Exception as exc:  # the headline must survive a broken host path
+            print(f"[bench] e2e loader benchmark failed: {exc}")
 
     gflops_per_img = kd_step_gflops_per_image()
     tflops = per_chip * gflops_per_img / 1e3
@@ -115,7 +116,7 @@ def main(batch_size: int = 128, steps: int = 40, warmup: int = 3,
         "vs_baseline": round(per_chip / A100_DDP_ESTIMATE_IMG_PER_SEC, 3),
         # loader-driven number: real FolderSource->Loader path (JPEG decode,
         # host batching, H2D) at the recipe batch 256, synthetic image files
-        "e2e_loader_img_per_sec": None if e2e is None else round(e2e, 1),
+        "e2e_loader_img_per_sec": None if e2e_rate is None else round(e2e_rate, 1),
         "model_tflops_per_sec": round(tflops, 1),
         "mfu": None if peak is None else round(tflops / peak, 3),
     }))
