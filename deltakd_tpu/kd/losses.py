@@ -58,7 +58,7 @@ class KDSettings:
     mgd_mask_ratio: float = 0.5
     student_prefix: int = 1   # CLS (reference slices [:,1:], loss.py:88-91)
     teacher_prefix: int = 2   # CLS+DIST (reference slices [:,2:], loss.py:95-99)
-    sinkhorn_iters: int = 30  # ε-scaling levels (see kd/sinkhorn.py)
+    sinkhorn_iters: int = 20  # ε-scaling levels (see kd/sinkhorn.py)
 
     @classmethod
     def from_config(cls, cfg, *, student_prefix: int, teacher_prefix: int) -> "KDSettings":
@@ -72,7 +72,7 @@ class KDSettings:
             wasskd_type=cfg.wasskd_type, mgd_alpha=cfg.mgd_alpha,
             mgd_mask_ratio=cfg.mgd_mask_ratio,
             student_prefix=student_prefix, teacher_prefix=teacher_prefix,
-            sinkhorn_iters=getattr(cfg, "sinkhorn_iters", 30))
+            sinkhorn_iters=getattr(cfg, "sinkhorn_iters", 20))
 
 
 # ----------------------------------------------------------------------------

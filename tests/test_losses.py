@@ -267,7 +267,11 @@ def test_sinkhorn_divergence_properties():
     s_xy = float(sinkhorn_divergence(x, y))
     s_yx = float(sinkhorn_divergence(y, x))
     assert s_xy > 0
-    np.testing.assert_allclose(s_xy, s_yx, rtol=1e-5)
+    # Gauss-Seidel visits (f,g) in opposite order for (y,x), so symmetry
+    # holds only to solver tolerance — ~3e-4 at the default 20+6 ε-levels
+    # (1e-5 needed the old 30+10 schedule; the exact-OT test separately pins
+    # absolute accuracy at 2%)
+    np.testing.assert_allclose(s_xy, s_yx, rtol=1e-3)
 
     # translation of a point cloud by v: W2²/2 = |v|²/2 (blur→0 limit);
     # with blur=0.05 the entropic bias is tiny after debiasing

@@ -64,3 +64,4 @@ def test_xla_bitonic_sort_cpu():
     x = jnp.asarray(rng.randn(3, 100, 5).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(bitonic_sort(x, axis=1)),
                                   np.sort(np.asarray(x), axis=1))
+
