@@ -111,3 +111,37 @@ def test_pos_embed_same_size_identity():
     pe = jnp.ones((1, 18, 8))
     out = interpolate_pos_embed(pe, 2, 16)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
+
+
+def test_factory_disables_fused_block_under_model_axis(monkeypatch):
+    """--mesh-shape D M with M>1 shards block weights Megatron-style; the
+    fused block kernel consumes whole matrices, so the factory must not
+    inject it (XLA would all-gather the shards every step)."""
+    from deltakd_tpu.configs import TrainConfig
+    from deltakd_tpu.models import factory
+    from deltakd_tpu.ops import fused_block
+
+    # pretend we are on TPU so best_block_fn would normally fire; stand in a
+    # CPU-computable block so model init still runs
+    def fake_block(x, params, *, num_heads, ln_eps=1e-6, scale_attn=None,
+                   scale_mlp=None, need_features=True):
+        out, feat = fused_block.reference_vit_block(
+            x, params, num_heads=num_heads, ln_eps=ln_eps,
+            scale_attn=scale_attn, scale_mlp=scale_mlp)
+        return out, (feat if need_features else None)
+
+    monkeypatch.setattr(fused_block, "best_block_fn",
+                        lambda enabled=True: fake_block if enabled else None)
+
+    def build(mesh_shape):
+        cfg = TrainConfig(dataset="cifar-100", input_size=64,
+                          distillation_type="none", mesh_shape=mesh_shape,
+                          student_model="deit_tiny_patch16_224")
+        teacher, student, _ = factory.load_teacher_student(
+            cfg, rng=jax.random.PRNGKey(0), attention_fn=lambda q, k, v: q)
+        return student.module.block_fn
+
+    assert build((4, 2)) is None                 # TP active → unfused
+    assert build((8, 1)) is not None             # pure DP → fused kernel
+    assert build(None) is not None
+
