@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import orbax.checkpoint as ocp
 
@@ -33,22 +34,51 @@ _BEST_SUFFIX = ".best"
 _META = "meta.json"
 
 
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
 def _ckptr() -> ocp.StandardCheckpointer:
-    return ocp.StandardCheckpointer()
+    # one long-lived checkpointer so async saves can span epoch boundaries
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has committed (call before
+    process exit / preemption shutdown)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def save_checkpoint(save_dir: str, state, *, epoch: int, best_acc: float,
-                    is_best: bool) -> None:
+                    is_best: bool, block: bool = True) -> None:
     """Write save_dir/state (+ meta.json); copy to save_dir.best on new best
-    (reference utils.py:90-93)."""
+    (reference utils.py:90-93).
+
+    ``block=False`` returns as soon as orbax has snapshotted the arrays — the
+    commit overlaps the next epoch's compute (orbax renames atomically on
+    commit, and {epoch, best_acc} ride *inside* the checkpoint tree so a
+    crash mid-save can never pair new metadata with old weights; meta.json is
+    a human-readable convenience sidecar only). The caller must pass
+    donation-safe arrays (host copies or fresh device copies) when deferring.
+    """
     save_dir = os.path.abspath(save_dir)
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, _STATE_DIR)
     ckptr = _ckptr()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    ckptr.wait_until_finished()  # serialize with any previous async save
+    # numpy (not jnp) scalars: host-local device arrays are not serializable
+    # in multi-host saves; numpy is treated as replicated on every host
+    tree = {"state": state,
+            "meta": {"epoch": np.asarray(epoch, np.int32),
+                     "best_acc": np.asarray(best_acc, np.float32)}}
+    ckptr.save(path, tree, force=True)
     with open(os.path.join(save_dir, _META), "w") as f:
-        json.dump({"epoch": epoch, "best_acc": best_acc}, f)
+        json.dump({"epoch": epoch, "best_acc": float(best_acc)}, f)
+    if is_best or block:
+        ckptr.wait_until_finished()
     if is_best:
         best_dir = save_dir + _BEST_SUFFIX
         if os.path.isdir(best_dir):
@@ -63,10 +93,19 @@ def load_checkpoint(save_dir: str, target_state) -> Tuple[Any, int, float]:
     path = os.path.join(save_dir, _STATE_DIR)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"Checkpoint not found: {path}")
-    state = _ckptr().restore(path, target_state)
-    with open(os.path.join(save_dir, _META)) as f:
-        meta = json.load(f)
-    return state, int(meta["epoch"]), float(meta.get("best_acc", 0.0))
+    try:
+        tree = _ckptr().restore(
+            path, {"state": target_state,
+                   "meta": {"epoch": np.zeros((), np.int32),
+                            "best_acc": np.zeros((), np.float32)}})
+        return (tree["state"], int(tree["meta"]["epoch"]),
+                float(tree["meta"]["best_acc"]))
+    except Exception:
+        # legacy layout: bare state tree + meta.json sidecar
+        state = _ckptr().restore(path, target_state)
+        with open(os.path.join(save_dir, _META)) as f:
+            meta = json.load(f)
+        return state, int(meta["epoch"]), float(meta.get("best_acc", 0.0))
 
 
 def _merge_for_finetune(source: Dict[str, Any], target: Dict[str, Any],
@@ -117,7 +156,8 @@ def load_student_for_finetune(checkpoint: str, target_student_params,
         else:
             raise FileNotFoundError(f"No restorable checkpoint under {checkpoint}")
         params = restored
-        for key in ("params", "student"):
+        # peel the wrapper layers: {"state": TrainState-like}["params"]["student"]
+        for key in ("state", "params", "student"):
             if isinstance(params, dict) and key in params:
                 params = params[key]
         if not isinstance(params, dict):

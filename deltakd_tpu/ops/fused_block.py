@@ -224,6 +224,11 @@ def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
             flops=B * flops_elem,
             bytes_accessed=2 * B * N * D * x.dtype.itemsize * (3 if need_feat else 2),
             transcendentals=B * N * D * 5),
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's scoped-stack accounting sums same-scope temporaries;
+            # at 384px (N=578) that nominal sum exceeds the 16 MB default
+            # while the true live set still fits — raise the cap
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, s_attn, s_mlp, *ws)
     return outs if need_feat else (outs, None)
 
@@ -380,6 +385,8 @@ def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
             flops=3 * B * (24 * N * D * D + 4 * N * N * D),
             bytes_accessed=4 * B * N * D * x.dtype.itemsize,
             transcendentals=B * N * D * 10),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, s_attn, s_mlp, *ws, *g_in)
     return outs[0], outs[1:]
 

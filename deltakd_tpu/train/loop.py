@@ -34,7 +34,7 @@ def _request_stop(signum, frame):  # pragma: no cover - signal path
 
 
 from deltakd_tpu.ckpt.checkpoint import (load_checkpoint, load_student_for_finetune,
-                                         save_checkpoint)
+                                         save_checkpoint, wait_for_checkpoints)
 from deltakd_tpu.data import AugmentConfig, Loader, MixupConfig, build_source
 from deltakd_tpu.kd import KDSettings
 from deltakd_tpu.models import load_teacher_student
@@ -270,14 +270,26 @@ def run(cfg) -> Dict[str, float]:
         is_best = current > best_val_acc
         best_val_acc = max(best_val_acc, current)
         if is_main:
+            # On-device copy (cheap) instead of device_get (~1-2 s pull):
+            # donation-safe for the async orbax save, which fetches and
+            # commits in the background while the next epoch trains.
+            # Multi-host keeps the host pull: this save is proc-0-gated, so
+            # device arrays (collective save path) would hang other hosts.
+            if jax.process_count() > 1:
+                snapshot = jax.device_get(state)
+            else:
+                snapshot = jax.tree.map(jnp.copy, state)
             save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
-                            jax.device_get(state), epoch=epoch + 1,
-                            best_acc=best_val_acc, is_best=is_best)
+                            snapshot, epoch=epoch + 1,
+                            best_acc=best_val_acc, is_best=is_best,
+                            block=False)
         if _PREEMPTED:
+            wait_for_checkpoints()
             logger.info(f"SIGTERM received — checkpoint saved at epoch "
                         f"{epoch + 1}, exiting for resume")
             break
 
+    wait_for_checkpoints()
     logger.info("Training completed")
     logger.info(f"Final validation metrics: {val_metrics}")
     wandb_run.finish()

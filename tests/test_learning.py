@@ -82,3 +82,57 @@ def test_pipeline_learns_texture_task():
         sums = out if sums is None else jax.tree.map(jnp.add, sums, out)
     acc = float(sums["correct1"]) / float(sums["count"]) * 100
     assert acc > 50.0, f"held-out acc {acc:.1f}% (chance 25%) — pipeline not learning"
+
+
+def test_fused_stack_learns_texture_task_224_tpu():
+    """Production-scale learnability on real hardware: DeiT-Tiny with the
+    fully-fused block kernel (custom VJP) must learn the crop/flip-invariant
+    texture task at 224px. Measured: 98.4% train acc in 160 steps; asserting
+    a comfortable margin at 100 steps. Catches any silent gradient corruption
+    in the fused backward that unit grad-parity tolerances could hide."""
+    import pytest
+
+    from deltakd_tpu.ops.attention import best_attention_fn
+    from deltakd_tpu.ops.fused_block import best_block_fn, use_fused_block
+
+    if not use_fused_block():
+        pytest.skip("Pallas TPU backend unavailable (CPU test run)")
+
+    from deltakd_tpu.models import create_model, init_params
+
+    IMG224 = 224
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 4, (256,)).astype(np.int32)
+    yy, xx = np.meshgrid(np.arange(IMG224), np.arange(IMG224), indexing="ij")
+    pats = [(yy // 16) % 2, (xx // 16) % 2, ((yy // 16) + (xx // 16)) % 2,
+            np.ones_like(yy)]
+    imgs = np.zeros((256, IMG224, IMG224, 3), np.uint8)
+    for i in range(256):
+        p = pats[labels[i]] * 200 + 30
+        imgs[i] = np.clip(np.stack([p] * 3, -1)
+                          + rng.randint(-20, 20, (IMG224, IMG224, 3)), 0, 255)
+
+    cfg = TrainConfig(batch_size=128, distillation_type="none",
+                      dataset="cifar-100", input_size=IMG224, dtype="bfloat16",
+                      drop_path_rate=0.0, epochs=100, warmup_epochs=0, lr=2e-3,
+                      mixup=0.0, cutmix=0.0, reprob=0.0, aa="", smoothing=0.0)
+    student = create_model("deit_tiny_patch16_224", num_classes=4,
+                           img_size=IMG224, dtype=jnp.bfloat16,
+                           attention_fn=best_attention_fn(True),
+                           block_fn=best_block_fn(True),
+                           collect_features=False)
+    sp = init_params(student, jax.random.PRNGKey(1))
+    kd = KDSettings.from_config(cfg, student_prefix=1, teacher_prefix=2)
+    tx = make_optimizer(cfg, {"student": sp, "aux": {}}, 1000)
+    state = TrainState.create(student_params=sp, aux_params={}, tx=tx)
+    step = build_train_step(cfg=cfg, kd=kd, student_module=student,
+                            teacher_module=student,
+                            aug=AugmentConfig.from_config(cfg), mixup=None,
+                            tx=tx, donate=False)
+    ji = jnp.asarray(imgs).reshape(2, 128, IMG224, IMG224, 3)
+    jl = jnp.asarray(labels).reshape(2, 128)
+    key = jax.random.PRNGKey(3)
+    for s in range(100):
+        state, m = step(state, sp, ji[s % 2], jl[s % 2], key,
+                        jnp.asarray(0, jnp.int32))
+    assert float(m["train_acc1"]) > 85.0, float(m["train_acc1"])
