@@ -192,6 +192,10 @@ def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
     state, m = step(state, t_params, jnp.asarray(imgs), jnp.asarray(labels),
                     key, epoch)
     float(m["train_loss"])
+    # the tunnel's bare scalar-fetch cost must be subtracted (CLAUDE.md)
+    t0 = time.perf_counter()
+    float(m["train_loss"])
+    fetch_cost = time.perf_counter() - t0
 
     n = 0
     t0 = time.perf_counter()
@@ -202,7 +206,7 @@ def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
         if n >= max_steps:
             break
     float(m["train_loss"])
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0 - fetch_cost
     return batch_size * n / elapsed / len(jax.devices())
 
 

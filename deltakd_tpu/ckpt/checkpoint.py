@@ -93,19 +93,29 @@ def load_checkpoint(save_dir: str, target_state) -> Tuple[Any, int, float]:
     path = os.path.join(save_dir, _STATE_DIR)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"Checkpoint not found: {path}")
+    # Distinguish the wrapped {'state','meta'} layout from the legacy bare
+    # state tree by the checkpoint's own structure metadata — a blanket
+    # try/except around restore would mask genuine restore failures (shape
+    # mismatches, corruption) behind a misleading legacy retry.
+    wrapped = False
     try:
+        md = _ckptr().metadata(path)
+        tree = getattr(getattr(md, "item_metadata", md), "tree", md)
+        wrapped = set(tree.keys()) == {"state", "meta"}
+    except Exception:
+        pass  # very old orbax dirs without readable metadata → legacy path
+    if wrapped:
         tree = _ckptr().restore(
             path, {"state": target_state,
                    "meta": {"epoch": np.zeros((), np.int32),
                             "best_acc": np.zeros((), np.float32)}})
         return (tree["state"], int(tree["meta"]["epoch"]),
                 float(tree["meta"]["best_acc"]))
-    except Exception:
-        # legacy layout: bare state tree + meta.json sidecar
-        state = _ckptr().restore(path, target_state)
-        with open(os.path.join(save_dir, _META)) as f:
-            meta = json.load(f)
-        return state, int(meta["epoch"]), float(meta.get("best_acc", 0.0))
+    # legacy layout: bare state tree + meta.json sidecar
+    state = _ckptr().restore(path, target_state)
+    with open(os.path.join(save_dir, _META)) as f:
+        meta = json.load(f)
+    return state, int(meta["epoch"]), float(meta.get("best_acc", 0.0))
 
 
 def _merge_for_finetune(source: Dict[str, Any], target: Dict[str, Any],

@@ -39,7 +39,11 @@ def main(argv=None):
     cfg = config_from_namespace(ns)
 
     mesh = make_mesh(cfg.mesh_shape)
-    teacher, student, aux = load_teacher_student(cfg, rng=jax.random.PRNGKey(cfg.seed))
+    # Evaluation never runs the teacher — the factory is only used to rebuild
+    # the student module + aux-param structure for the checkpoint restore, so
+    # the pretrained-teacher guard must not fire for KD-typed configs.
+    teacher, student, aux = load_teacher_student(
+        cfg.replace(allow_random_teacher=True), rng=jax.random.PRNGKey(cfg.seed))
     tx = make_optimizer(cfg, {"student": student.params, "aux": aux}, 1)
     target = TrainState.create(student_params=student.params, aux_params=aux,
                                tx=tx, ema_decay=cfg.ema_decay)

@@ -582,8 +582,9 @@ def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
     makes op i+1 *depend* on op i's output, forcing ~13 serialized
     full-tensor HBM passes (~24 ms at batch 256); reading a common input
     lets XLA fuse all the cheap elementwise ops into a couple of VPU passes
-    (measured ~5x faster). Only the two expensive ops (equalize's histogram
-    matmuls, sharpness's conv) sit behind scalar lax.conds."""
+    (measured ~5x faster). The two expensive ops (equalize's histogram
+    matmuls, sharpness's conv) run on a gathered fixed-size subset of the
+    batch instead — see ``_apply_on_subset``."""
     x = imgs
     out = imgs
     B = imgs.shape[0]

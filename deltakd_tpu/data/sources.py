@@ -226,6 +226,18 @@ def caltech256_source(root: str, raw_size: int,
                       os.path.join(root, "256_ObjectCategories"))
     categories = sorted(d for d in os.listdir(base)
                         if os.path.isdir(os.path.join(base, d)))
+    num_classes = DATASET_STATS["caltech256"]["num_classes"]
+    if len(categories) > num_classes:
+        # The real archive ships 257 dirs (001..256 + '257.clutter') while the
+        # reference's DATASET_STATS pins 256 classes — torchvision would emit
+        # label 256 and the reference's 256-way CE would crash on it. XLA
+        # *clamps* out-of-range indices, which would silently corrupt the
+        # loss instead, so fail loudly with the remedy.
+        raise ValueError(
+            f"caltech256: found {len(categories)} category dirs under {base} "
+            f"but DATASET_STATS['caltech256'] declares {num_classes} classes "
+            f"(the reference crashes on the same data). Remove the extra "
+            f"directories (typically '257.clutter') or adjust the registry.")
     samples: List[Tuple[str, int]] = []
     for idx, cat in enumerate(categories):
         cdir = os.path.join(base, cat)
@@ -270,8 +282,9 @@ def build_source(cfg, is_train: bool):
     if name in native:
         try:
             return native[name]()
-        except FileNotFoundError:
-            pass  # pre-converted ImageFolder tree below
+        except (FileNotFoundError, ImportError):
+            pass  # no native archive (or no scipy for the .mat readers) —
+            # fall through to a pre-converted ImageFolder tree
     candidates = [
         os.path.join(cfg.data_path, split),
         os.path.join(cfg.data_path, name, split),

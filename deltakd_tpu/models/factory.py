@@ -12,6 +12,7 @@ the model object.
 from __future__ import annotations
 
 import dataclasses
+from math import prod as np_prod
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -79,13 +80,18 @@ def load_teacher_student(config, *, rng: jax.Array,
     from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
-    # The fully-fused block kernel needs whole weight matrices per device —
-    # disable it when a model axis shards them (Megatron TP, parallel/mesh.py)
-    # so XLA doesn't silently all-gather the shards every step.
+    # The fully-fused block kernel is gated to SINGLE-DEVICE meshes: GSPMD has
+    # no partitioning rule for the Mosaic custom call, so under a model axis
+    # it would all-gather the Megatron-sharded weights and under a multi-chip
+    # data axis it would replicate the global batch per chip — either way
+    # silently defeating the sharding. Multi-chip runs take the unfused
+    # module path (XLA partitions it normally); re-enabling the kernel at
+    # scale needs a shard_map wrapper over the data axis (docs/ROADMAP.md).
     mesh_shape = getattr(config, "mesh_shape", None)
-    tp_active = mesh_shape is not None and len(mesh_shape) > 1 and mesh_shape[1] > 1
+    n_mesh_devices = (int(np_prod(mesh_shape)) if mesh_shape
+                      else len(jax.devices()))
     kernels_on = attention_fn is not None
-    block_fn = best_block_fn(kernels_on and not tp_active)
+    block_fn = best_block_fn(kernels_on and n_mesh_devices == 1)
     needs_features = config.distillation_type in FEATURE_TYPES
 
     teacher_module = create_model(

@@ -113,10 +113,11 @@ def test_pos_embed_same_size_identity():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
 
 
-def test_factory_disables_fused_block_under_model_axis(monkeypatch):
-    """--mesh-shape D M with M>1 shards block weights Megatron-style; the
-    fused block kernel consumes whole matrices, so the factory must not
-    inject it (XLA would all-gather the shards every step)."""
+def test_factory_disables_fused_block_on_multi_device_meshes(monkeypatch):
+    """GSPMD cannot partition the Mosaic custom call: under a model axis it
+    would all-gather the Megatron-sharded weights, and under a multi-chip
+    data axis it would replicate the global batch per chip. The factory must
+    inject the fused kernel only for single-device meshes."""
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.models import factory
     from deltakd_tpu.ops import fused_block
@@ -141,7 +142,8 @@ def test_factory_disables_fused_block_under_model_axis(monkeypatch):
             cfg, rng=jax.random.PRNGKey(0), attention_fn=lambda q, k, v: q)
         return student.module.block_fn
 
-    assert build((4, 2)) is None                 # TP active → unfused
-    assert build((8, 1)) is not None             # pure DP → fused kernel
-    assert build(None) is not None
+    assert build((4, 2)) is None                 # TP → unfused
+    assert build((8, 1)) is None                 # multi-chip DP → unfused
+    assert build((1, 1)) is not None             # single device → fused
+    assert build((1,)) is not None
 

@@ -248,3 +248,32 @@ def test_grad_accumulation_matches_large_batch():
     delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          state2.params, out2.params)
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_checkpoint_legacy_layout_still_restores(tmp_path):
+    """Round-1 checkpoints (bare state tree + meta.json sidecar) must keep
+    restoring after the wrapped {'state','meta'} layout landed; layout
+    detection goes through orbax structure metadata, not exception retry."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from deltakd_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"w": jnp.arange(5.0), "b": jnp.ones((3,))}
+    target = {"w": jnp.zeros(5), "b": jnp.zeros(3)}
+
+    save_checkpoint(str(tmp_path / "new"), state, epoch=7, best_acc=42.5,
+                    is_best=False)
+    s, ep, best = load_checkpoint(str(tmp_path / "new"), target)
+    assert ep == 7 and best == 42.5
+    np.testing.assert_allclose(np.asarray(s["w"]), np.arange(5.0))
+
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "legacy" / "state"), state)
+    ck.wait_until_finished()
+    (tmp_path / "legacy" / "meta.json").write_text(
+        json.dumps({"epoch": 3, "best_acc": 9.0}))
+    s, ep, best = load_checkpoint(str(tmp_path / "legacy"), target)
+    assert ep == 3 and best == 9.0
+    np.testing.assert_allclose(np.asarray(s["b"]), np.ones(3))
