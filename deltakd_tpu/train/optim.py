@@ -69,12 +69,32 @@ def cosine_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
     return lr_at_epoch
 
 
+def step_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
+    """timm StepLRScheduler: lr·decay_rate^(epoch // decay_epochs) after the
+    same linear warmup (reference create_scheduler surface, train.py:54-93)."""
+    base, warm0 = cfg.lr, cfg.warmup_lr
+    warmup_t, decay_t, decay_rate = cfg.warmup_epochs, cfg.decay_epochs, cfg.decay_rate
+
+    def lr_at_epoch(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
+        warm = warm0 + epoch * (base - warm0) / max(warmup_t, 1)
+        stepped = base * jnp.power(decay_rate, jnp.floor(epoch / decay_t))
+        return jnp.where(epoch < warmup_t, warm, stepped)
+
+    return lr_at_epoch
+
+
 def make_schedule(cfg, steps_per_epoch: int) -> Callable[[jax.Array], jax.Array]:
-    if cfg.sched != "cosine":
+    if cfg.sched == "cosine":
+        per_epoch = cosine_epoch_schedule(cfg)
+    elif cfg.sched == "step":
+        per_epoch = step_epoch_schedule(cfg)
+    else:
+        # plateau needs val-metric feedback inside the schedule — reject
+        # loudly rather than silently train a different recipe
         raise NotImplementedError(
-            f"scheduler '{cfg.sched}' not implemented (reference default is "
-            f"cosine, train.py:69-70)")
-    per_epoch = cosine_epoch_schedule(cfg)
+            f"scheduler '{cfg.sched}' not implemented (cosine and step are; "
+            f"reference default is cosine, train.py:69-70)")
 
     def sched(step):
         return per_epoch(jnp.asarray(step) // steps_per_epoch)

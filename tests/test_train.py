@@ -277,3 +277,18 @@ def test_checkpoint_legacy_layout_still_restores(tmp_path):
     s, ep, best = load_checkpoint(str(tmp_path / "legacy"), target)
     assert ep == 3 and best == 9.0
     np.testing.assert_allclose(np.asarray(s["b"]), np.ones(3))
+
+
+def test_step_schedule_matches_timm_formula():
+    """timm StepLRScheduler semantics: warmup then lr·rate^(epoch//decay)."""
+    from deltakd_tpu.train.optim import step_epoch_schedule
+
+    cfg = TrainConfig(lr=1e-3, warmup_lr=1e-6, warmup_epochs=2, sched="step",
+                      decay_epochs=30, decay_rate=0.1, epochs=100)
+    sched = step_epoch_schedule(cfg)
+    np.testing.assert_allclose(float(sched(0)), 1e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1)), 1e-6 + (1e-3 - 1e-6) / 2, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(2)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(29)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(30)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(75)), 1e-5, rtol=1e-6)
