@@ -45,7 +45,7 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
     from deltakd_tpu.train.state import TrainState
     from deltakd_tpu.train.step import build_train_step
 
-    from deltakd_tpu.kd.losses import FEATURE_TYPES
+    from deltakd_tpu.kd.losses import feature_indices
     from deltakd_tpu.ops.attention import best_attention_fn
     from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
@@ -55,7 +55,7 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
                       drop_path_rate=0.1, epochs=300)
     attn = best_attention_fn(True)
     block_fn = best_block_fn(True)
-    needs_features = distillation_type in FEATURE_TYPES
+    needs_features = feature_indices(distillation_type, 12)
     rng = jax.random.PRNGKey(0)
     student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
                            img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,

@@ -24,7 +24,7 @@ def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
     from deltakd_tpu.data.augment import AugmentConfig
     from deltakd_tpu.data.mixup import MixupConfig
     from deltakd_tpu.kd import KDSettings, init_aux_params
-    from deltakd_tpu.kd.losses import FEATURE_TYPES
+    from deltakd_tpu.kd.losses import feature_indices
     from deltakd_tpu.models import create_model, init_params
     from deltakd_tpu.ops.attention import best_attention_fn
     from deltakd_tpu.ops.fused_block import best_block_fn
@@ -38,17 +38,17 @@ def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
                       drop_path_rate=0.1, epochs=300, wasskd_type=wasskd_type)
     attn = best_attention_fn(True)
     block_fn = best_block_fn(True)
-    needs_features = dtype_name in FEATURE_TYPES
+    collect = feature_indices(dtype_name, 12)
     student_name = ("deit_tiny_distilled_patch16_224"
                     if dtype_name in ("soft", "hard") else "deit_tiny_patch16_224")
     student = create_model(student_name, num_classes=100, img_size=224,
                            drop_path_rate=0.1, dtype=jnp.bfloat16,
                            attention_fn=attn, block_fn=block_fn,
-                           collect_features=needs_features)
+                           collect_features=collect)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
                            img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
                            mlp_fn=best_mlp_fn(True), block_fn=block_fn,
-                           collect_features=needs_features)
+                           collect_features=collect)
     sp = init_params(student, jax.random.PRNGKey(1))
     tp = init_params(teacher, jax.random.PRNGKey(2))
     aux = init_aux_params(jax.random.PRNGKey(3), dtype_name, 192, 384)

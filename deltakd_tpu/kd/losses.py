@@ -35,6 +35,28 @@ from deltakd_tpu.ops.sort import bitonic_sort
 
 FEATURE_TYPES = ("vitkd", "lrkd", "diffkd", "curkd", "saliency_mgd", "wasskd", "mgd")
 LOGIT_TYPES = ("soft", "hard")
+
+
+def feature_indices(distillation_type: str, depth: int):
+    """Which per-block features a KD objective actually reads (True = all,
+    frozenset = those block indices, False = none).
+
+    Lets the fused block kernel skip the [B,N,D] feature write for blocks no
+    loss consumes — the kernel's outputs can't be dead-code-eliminated the
+    way the unfused module path's are. Indices mirror the loss bodies below
+    (vitkd/lrkd/diffkd use blocks {0,1,last}; curkd's curriculum touches
+    0-6 and last; wasskd 0-2; mgd/saliency only the last block).
+    """
+    t = distillation_type.lower()
+    if t in ("vitkd", "lrkd", "diffkd"):
+        return frozenset({0, 1, depth - 1})
+    if t == "curkd":
+        return frozenset(set(range(7)) | {depth - 1})
+    if t == "wasskd":
+        return frozenset({0, 1, 2})
+    if t in ("mgd", "saliency_mgd"):
+        return frozenset({depth - 1})
+    return t in FEATURE_TYPES  # unknown feature type: collect everything
 ALL_TYPES = ("none",) + LOGIT_TYPES + FEATURE_TYPES
 
 

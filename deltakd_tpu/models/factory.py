@@ -76,7 +76,7 @@ def load_teacher_student(config, *, rng: jax.Array,
 
     # The teacher is forward-only (frozen, reference models.py:70-72), so it
     # can additionally use the fused-MLP inference kernel.
-    from deltakd_tpu.kd.losses import FEATURE_TYPES
+    from deltakd_tpu.kd.losses import feature_indices
     from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
@@ -92,14 +92,21 @@ def load_teacher_student(config, *, rng: jax.Array,
                       else len(jax.devices()))
     kernels_on = attention_fn is not None
     block_fn = best_block_fn(kernels_on and n_mesh_devices == 1)
-    needs_features = config.distillation_type in FEATURE_TYPES
+
+    from deltakd_tpu.models.registry import get_model_config
+
+    def needed_features(model_name: str):
+        depth = get_model_config(model_name, num_classes=num_classes,
+                                 img_size=config.input_size).depth
+        return feature_indices(config.distillation_type, depth)
 
     teacher_module = create_model(
         config.teacher_model, num_classes=num_classes, img_size=config.input_size,
         drop_path_rate=0.0,  # teacher runs in eval mode; drop-path is inert anyway
         dtype=dtype, attention_fn=attention_fn,
         mlp_fn=best_mlp_fn(kernels_on),
-        block_fn=block_fn, collect_features=needs_features)
+        block_fn=block_fn,
+        collect_features=needed_features(config.teacher_model))
     teacher_params = init_params(teacher_module, k_teacher)
     if config.teacher_checkpoint:
         state = load_state_dict(config.teacher_checkpoint)
@@ -122,7 +129,8 @@ def load_teacher_student(config, *, rng: jax.Array,
     student_module = create_model(
         config.student_model, num_classes=num_classes, img_size=config.input_size,
         drop_path_rate=config.drop_path_rate, dtype=dtype, attention_fn=attention_fn,
-        block_fn=block_fn, collect_features=needs_features)
+        block_fn=block_fn,
+        collect_features=needed_features(config.student_model))
     student_params = init_params(student_module, k_student)
 
     aux_params = init_aux_params(

@@ -263,7 +263,8 @@ class VisionTransformer(nn.Module):
     attention_fn: Optional[Callable] = None
     mlp_fn: Optional[Callable] = None
     block_fn: Optional[Callable] = None    # fully-fused block kernel (TPU)
-    collect_features: bool = True          # whether KD needs the per-block features
+    collect_features: Any = True           # True/False or frozenset of block
+    # indices whose features the KD objective reads (kd.losses.feature_indices)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
@@ -296,9 +297,14 @@ class VisionTransformer(nn.Module):
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)]
         feats = []
         for i in range(cfg.depth):
+            # collect_features: True/False, or a collection of block indices
+            # (kd.losses.feature_indices) — the fused kernel then skips the
+            # feature write for blocks no KD objective reads
+            cf = self.collect_features
+            collect_i = bool(cf) if isinstance(cf, bool) else i in cf
             x, mlp_out = Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                                dpr[i], cfg.ln_eps, self.dtype, self.attention_fn,
-                               self.mlp_fn, self.block_fn, self.collect_features,
+                               self.mlp_fn, self.block_fn, collect_i,
                                name=f"blocks_{i}")(x, deterministic=not train)
             feats.append(mlp_out)
 
