@@ -53,9 +53,13 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
                       drop_path_rate=0.1, epochs=300)
+    from deltakd_tpu.models.registry import get_model_config
+
     attn = best_attention_fn(True)
     block_fn = best_block_fn(True)
-    needs_features = feature_indices(distillation_type, 12)
+    depth = get_model_config("deit_tiny_distilled_patch16_224",
+                             num_classes=100).depth
+    needs_features = feature_indices(distillation_type, depth)
     rng = jax.random.PRNGKey(0)
     student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
                            img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,

@@ -36,9 +36,13 @@ def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
     cfg = TrainConfig(batch_size=batch_size, distillation_type=dtype_name,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
                       drop_path_rate=0.1, epochs=300, wasskd_type=wasskd_type)
+    from deltakd_tpu.models.registry import get_model_config
+
     attn = best_attention_fn(True)
     block_fn = best_block_fn(True)
-    collect = feature_indices(dtype_name, 12)
+    collect = feature_indices(
+        dtype_name, get_model_config("deit_tiny_patch16_224",
+                                     num_classes=100).depth)
     student_name = ("deit_tiny_distilled_patch16_224"
                     if dtype_name in ("soft", "hard") else "deit_tiny_patch16_224")
     student = create_model(student_name, num_classes=100, img_size=224,

@@ -264,8 +264,10 @@ def lrkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Arra
     The three per-layer eigendecompositions batch into one [3, D, D] eigh
     (eigh has a large fixed cost on TPU; batching amortizes it)."""
     s_sel = _slice_feats(s_feats, (0, 1, -1), kd.student_prefix)
-    # teacher layers 0, 1, 11 explicitly (loss.py:95-99)
-    t_sel = _slice_feats(t_feats, (0, 1, 11), kd.teacher_prefix)
+    # teacher layers 0, 1, last — the reference hardcodes 11 for its fixed
+    # depth-12 teacher (loss.py:95-99); -1 is identical there and stays
+    # consistent with feature_indices for deeper models
+    t_sel = _slice_feats(t_feats, (0, 1, -1), kd.teacher_prefix)
 
     t2 = jnp.stack([t.reshape(-1, t.shape[-1]) for t in t_sel]).astype(jnp.float32)
     gram = jnp.einsum("lmd,lme->lde", t2, t2)               # [3, D, D]
@@ -344,8 +346,10 @@ def curkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats,
         return loss / 4.0 / B * 4e-5
 
     def phase_last(_):
-        stu = aux_ops.dense(aux["curkd_align_last"], s_feats[11][:, sp:])
-        tea = t_feats[11][:, tp:].astype(jnp.float32)
+        # reference hardcodes block 11 for its depth-12 models
+        # (loss.py:394-420); -1 is identical there
+        stu = aux_ops.dense(aux["curkd_align_last"], s_feats[-1][:, sp:])
+        tea = t_feats[-1][:, tp:].astype(jnp.float32)
         x_keep, mask, ids_restore, _ = random_masking(rng, stu, 0.5)
         x = _masked_generation(aux, x_keep, ids_restore)
         m = mask[..., None].astype(jnp.float32)

@@ -121,34 +121,27 @@ def _attention_fwd_one(qkv32, D, H, scale, dtype):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _attention_fwd(qkv32, D, H, scale, dtype, TB, N):
-    """Attention on a tile: [TB·N, 3D] → [TB·N, D]. The per-element loop goes
-    through a free leading-dim reshape (row slices at N-offsets would be
-    sublane-misaligned); unrolling TB gives Mosaic independent matmul/VPU
-    chains to interleave."""
-    if TB == 1:
-        return _attention_fwd_one(qkv32, D, H, scale, dtype)
-    qkv3 = qkv32.reshape(TB, N, 3 * D)
-    outs = [_attention_fwd_one(qkv3[tb], D, H, scale, dtype)
-            for tb in range(TB)]
-    return jnp.stack(outs).reshape(TB * N, D)
+def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp):
+    """The whole block forward in fp32-accumulated math on one element.
 
-
-def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp, TB=1, N=None):
-    """The whole block forward in fp32-accumulated math on one tile.
-
-    x32: [TB·N, D] flattened tokens; s_attn/s_mlp: per-token [TB·N, 1]
-    droppath scale columns (constant within each element). Returns
+    x32: [N, D] tokens; s_attn/s_mlp: scalar droppath branch scales. Returns
     (out, feat) where feat is the post-MLP pre-residual hidden state.
+
+    Note: a TB=2 batch-tile variant (two elements per grid step, flattened
+    token-parallel matmuls, per-element attention via leading-dim reshapes)
+    was built and measured in round 2 to chase the D=192 ILP gap — it was
+    SLOWER everywhere (fwd+bwd 3.34→4.81 ms at D=192/B=256; the stack/
+    reshape seams relayout and the doubled working set hurts grid
+    pipelining). One element per grid step is the measured optimum; the
+    tiled variant lives in git history (commit 2ad2f5c).
     """
     D = x32.shape[-1]
-    N = x32.shape[0] // TB if N is None else N
     scale = (D // H) ** -0.5
 
     y, _, _ = _ln_fwd(x32, w["g1"], w["b1"], eps)
     qkv = jax.lax.dot_general(y.astype(dtype), w["wqkv"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) + w["bqkv"]
-    merged = _attention_fwd(qkv, D, H, scale, dtype, TB, N)
+    merged = _attention_fwd_one(qkv, D, H, scale, dtype)
     attn = jax.lax.dot_general(merged.astype(dtype), w["wproj"],
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + w["bproj"]
@@ -191,32 +184,21 @@ def _weight_arrays(params: Dict[str, Any], dtype) -> Tuple[jax.Array, ...]:
     )
 
 
-def _scale_cols(s_ref, b, TB, N):
-    """Per-token scale column [TB·N, 1] from the SMEM per-sample vector."""
-    if TB == 1:
-        return s_ref[b, 0]
-    return jnp.concatenate(
-        [jnp.full((N, 1), s_ref[b * TB + tb, 0], jnp.float32)
-         for tb in range(TB)])
-
-
-def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
+def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     w_refs = rest[:len(_W_NAMES)]
     out_refs = rest[len(_W_NAMES):]
     w = {name: r[...] for name, r in zip(_W_NAMES, w_refs)}
     b = pl.program_id(0)
-    TBb, N, D = x_ref.shape
-    x32 = x_ref[...].astype(jnp.float32).reshape(TB * N, D)
+    x32 = x_ref[0].astype(jnp.float32)
     out, feat = _block_math_fwd(x32, w, eps, H, x_ref.dtype,
-                                _scale_cols(s_attn_ref, b, TB, N),
-                                _scale_cols(s_mlp_ref, b, TB, N), TB, N)
-    out_refs[0][...] = out.reshape(TB, N, D).astype(out_refs[0].dtype)
+                                s_attn_ref[b, 0], s_mlp_ref[b, 0])
+    out_refs[0][0] = out.astype(out_refs[0].dtype)
     if need_feat:
-        out_refs[1][...] = feat.reshape(TB, N, D).astype(out_refs[1].dtype)
+        out_refs[1][0] = feat.astype(out_refs[1].dtype)
 
 
-def _row_spec(n, d, tb=1):
-    return pl.BlockSpec((tb, n, d), lambda b: (b, 0, 0),
+def _row_spec(n, d):
+    return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -231,33 +213,19 @@ def _scale_spec(B):
     return pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
 
 
-def _tile_elems(N: int, D: int) -> int:
-    """Batch elements per grid step. TB=2 was hypothesized to recover the
-    D=192 ILP gap (one element's serial LN→matmul→softmax chain under-fills
-    the machine: ~59 TF/s vs 118 at D=384) but MEASURED SLOWER across the
-    board — fwd+bwd 3.34→4.81 ms at D=192/B=256, fwd 1.91→2.82 ms at
-    D=384/B=256: the per-element stack/reshape seams relayout and the
-    doubled per-step working set hurts grid pipelining more than the extra
-    independent chains help. The machinery stays (it is exercised at TB=1,
-    the measured optimum) in case a future Mosaic handles the seams."""
-    return 1
-
-
 def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
     B, N, D = x.shape
-    TB = _tile_elems(N, D)
     out_shape = [jax.ShapeDtypeStruct((B, N, D), x.dtype)]
-    out_specs = [_row_spec(N, D, TB)]
+    out_specs = [_row_spec(N, D)]
     if need_feat:
         out_shape.append(jax.ShapeDtypeStruct((B, N, D), x.dtype))
-        out_specs.append(_row_spec(N, D, TB))
+        out_specs.append(_row_spec(N, D))
     # qkv 6ND² + proj 2ND² + mlp 16ND² + attention 4N²D (matmul FLOPs)
     flops_elem = 24 * N * D * D + 4 * N * N * D
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat,
-                          TB=TB),
-        grid=(B // TB,),
-        in_specs=[_row_spec(N, D, TB), _scale_spec(B), _scale_spec(B)]
+        functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat),
+        grid=(B,),
+        in_specs=[_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
         + _w_specs(ws),
         out_specs=tuple(out_specs) if need_feat else out_specs[0],
         out_shape=tuple(out_shape) if need_feat else out_shape[0],
@@ -310,7 +278,7 @@ def _attention_bwd_one(qkv, dmerged, D, H, hd, scale, dtype):
     return jnp.concatenate(dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)
 
 
-def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
+def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     n_w = len(_W_NAMES)
     w_refs = rest[:n_w]
     if need_feat:
@@ -325,20 +293,20 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
 
     w = {name: r[...] for name, r in zip(_W_NAMES, w_refs)}
     dtype = x_ref.dtype
-    TBb, N, D = x_ref.shape
+    _, N, D = x_ref.shape
     hd = D // H
     scale = hd ** -0.5
     b = pl.program_id(0)
-    s_attn = _scale_cols(s_attn_ref, b, TB, N)
-    s_mlp = _scale_cols(s_mlp_ref, b, TB, N)
+    s_attn = s_attn_ref[b, 0]
+    s_mlp = s_mlp_ref[b, 0]
 
     # ---- recompute forward, keeping what the backward needs
-    x32 = x_ref[...].astype(jnp.float32).reshape(TB * N, D)
+    x32 = x_ref[0].astype(jnp.float32)
     y, xhat1, rstd1 = _ln_fwd(x32, w["g1"], w["b1"], eps)
     y_lp = y.astype(dtype)
     qkv = jax.lax.dot_general(y_lp, w["wqkv"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) + w["bqkv"]
-    merged = _attention_fwd(qkv, D, H, scale, dtype, TB, N)
+    merged = _attention_fwd_one(qkv, D, H, scale, dtype)
     merged_lp = merged.astype(dtype)
     attn = jax.lax.dot_general(merged_lp, w["wproj"], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + w["bproj"]
@@ -351,10 +319,10 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
     h_lp = h.astype(dtype)
 
     # ---- backward
-    g_out = g_out_ref[...].astype(jnp.float32).reshape(TB * N, D)
+    g_out = g_out_ref[0].astype(jnp.float32)
     g_feat = g_out * s_mlp
     if need_feat:
-        g_feat = g_feat + g_feat_ref[...].astype(jnp.float32).reshape(TB * N, D)
+        g_feat = g_feat + g_feat_ref[0].astype(jnp.float32)
     g_feat_lp = g_feat.astype(dtype)
 
     # MLP: feat = h @ w2 + bf2
@@ -384,15 +352,8 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
     dmerged = jax.lax.dot_general(dattn_lp, w["wproj"], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
-    # attention backward per element & head, rebuilding p from qkv
-    if TB == 1:
-        dqkv = _attention_bwd_one(qkv, dmerged, D, H, hd, scale, dtype)
-    else:
-        qkv3 = qkv.reshape(TB, N, 3 * D)
-        dm3 = dmerged.reshape(TB, N, D)
-        dqkv = jnp.stack(
-            [_attention_bwd_one(qkv3[tb], dm3[tb], D, H, hd, scale, dtype)
-             for tb in range(TB)]).reshape(TB * N, 3 * D)
+    # attention backward per head, rebuilding p from qkv
+    dqkv = _attention_bwd_one(qkv, dmerged, D, H, hd, scale, dtype)
     dqkv_lp = dqkv.astype(dtype)
 
     # qkv = LN1(x) @ wqkv + bqkv
@@ -405,7 +366,7 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
     dg1 = jnp.sum(dg1_rows, axis=0, keepdims=True)
     db1 = jnp.sum(db1_rows, axis=0, keepdims=True)
 
-    dx_ref[...] = (dx2 + dx_ln).reshape(TB, N, D).astype(dx_ref.dtype)
+    dx_ref[0] = (dx2 + dx_ln).astype(dx_ref.dtype)
 
     tiles = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
              dw1, dbf1, dw2, dbf2)
@@ -423,17 +384,15 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, TB):
 
 def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
     B, N, D = x.shape
-    TB = _tile_elems(N, D)
     need_feat = g_feat is not None
     g_in = [g_out] + ([g_feat] if need_feat else [])
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat,
-                          TB=TB),
-        grid=(B // TB,),
-        in_specs=([_row_spec(N, D, TB), _scale_spec(B), _scale_spec(B)]
-                  + _w_specs(ws) + [_row_spec(N, D, TB)] * len(g_in)),
-        out_specs=tuple([_row_spec(N, D, TB)] + _w_specs(ws)),
+        functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat),
+        grid=(B,),
+        in_specs=([_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
+                  + _w_specs(ws) + [_row_spec(N, D)] * len(g_in)),
+        out_specs=tuple([_row_spec(N, D)] + _w_specs(ws)),
         out_shape=tuple([jax.ShapeDtypeStruct((B, N, D), x.dtype)] + dw_shapes),
         cost_estimate=pl.CostEstimate(
             flops=3 * B * (24 * N * D * D + 4 * N * N * D),
@@ -492,21 +451,14 @@ def fused_vit_block(x: jax.Array, params: Dict[str, Any], *, num_heads: int,
     scale_attn/scale_mlp: per-sample [B] droppath branch scales (None = 1).
     Returns (out, features) with features None when need_features=False.
     """
-    B, N, D = x.shape
+    B = x.shape[0]
     ones = jnp.ones((B, 1), jnp.float32)
     s_a = ones if scale_attn is None else scale_attn.reshape(B, 1).astype(jnp.float32)
     s_m = ones if scale_mlp is None else scale_mlp.reshape(B, 1).astype(jnp.float32)
-    pad = (-B) % _tile_elems(N, D)
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-        s_a = jnp.pad(s_a, ((0, pad), (0, 0)), constant_values=1.0)
-        s_m = jnp.pad(s_m, ((0, pad), (0, 0)), constant_values=1.0)
     ws = _weight_arrays(params, x.dtype)
     if need_features:
-        out, feat = _fused_block_feat(x, (s_a, s_m), ws, ln_eps, num_heads)
-        return (out[:B], feat[:B]) if pad else (out, feat)
-    out = _fused_block_nofeat(x, (s_a, s_m), ws, ln_eps, num_heads)
-    return (out[:B] if pad else out), None
+        return _fused_block_feat(x, (s_a, s_m), ws, ln_eps, num_heads)
+    return _fused_block_nofeat(x, (s_a, s_m), ws, ln_eps, num_heads), None
 
 
 def reference_vit_block(x, params, *, num_heads, ln_eps=1e-6,

@@ -387,3 +387,37 @@ def test_subspace_eigvecs_match_eigh_on_decaying_spectrum():
     p_sub = v_sub @ v_sub.T
     p_ref = v_ref @ v_ref.T
     np.testing.assert_allclose(p_sub, p_ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("dtype_name", ["vitkd", "lrkd", "diffkd", "curkd",
+                                        "saliency_mgd", "wasskd", "mgd"])
+def test_feature_indices_cover_loss_reads_at_depth_24(dtype_name):
+    """Selective collection (kd.losses.feature_indices) must cover every
+    block index a loss body reads, at depths other than 12 too — under the
+    fused kernel the uncollected features are None, so a stale hardcoded
+    index (e.g. lrkd's old t_feats[11]) crashes at trace time."""
+    from deltakd_tpu.kd.losses import feature_indices
+
+    depth = 24
+    idx = feature_indices(dtype_name, depth)
+    assert isinstance(idx, frozenset)
+    rng = np.random.RandomState(0)
+
+    def feats(n_tok, dim):
+        return [jnp.asarray(rng.randn(2, n_tok, dim).astype(np.float32))
+                if i in idx else None for i in range(depth)]
+
+    s_feats = feats(17, D_S)   # 16 patches + CLS
+    t_feats = feats(18, D_T)   # 16 patches + CLS + DIST
+    aux = _aux(dtype_name, lrkd_rank=8) if dtype_name == "lrkd" else _aux(dtype_name)
+    kd = KDSettings(distillation_type=dtype_name, lrkd_rank=8,
+                    sinkhorn_iters=4)
+    kwargs = {}
+    if dtype_name in ("vitkd", "diffkd", "curkd", "mgd"):
+        kwargs["rng"] = jax.random.PRNGKey(0)
+    if dtype_name == "curkd":
+        # lax.switch traces ALL phases, touching every curriculum index
+        kwargs["epoch"] = jnp.asarray(0, jnp.int32)
+    fn = getattr(L, f"{dtype_name}_loss")
+    loss = fn(kd, aux, s_feats, t_feats, **kwargs)
+    assert np.isfinite(float(loss))
