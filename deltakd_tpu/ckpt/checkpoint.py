@@ -32,6 +32,7 @@ from deltakd_tpu.models.pos_embed import interpolate_pos_embed
 _STATE_DIR = "state"
 _BEST_SUFFIX = ".best"
 _META = "meta.json"
+_FORMAT = "wrapped-v1"  # {'state','meta'} tree inside a numbered state dir
 
 
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
@@ -52,10 +53,31 @@ def wait_for_checkpoints() -> None:
         _CKPTR.wait_until_finished()
 
 
+def _committed_state_dirs(save_dir: str):
+    """Committed state dirs under save_dir, oldest→newest: the numbered
+    ``state-<epoch>`` layout plus the legacy bare ``state``. Orbax commits
+    by atomic rename, so any dir matching the plain name (no tmp suffix)
+    is a complete checkpoint."""
+    out = []
+    if not os.path.isdir(save_dir):
+        return out
+    for name in os.listdir(save_dir):
+        full = os.path.join(save_dir, name)
+        if not os.path.isdir(full):
+            continue
+        if name == _STATE_DIR:
+            out.append((-1, full))
+        elif name.startswith(_STATE_DIR + "-"):
+            tail = name[len(_STATE_DIR) + 1:]
+            if tail.isdigit():
+                out.append((int(tail), full))
+    return [p for _, p in sorted(out)]
+
+
 def save_checkpoint(save_dir: str, state, *, epoch: int, best_acc: float,
                     is_best: bool, block: bool = True) -> None:
-    """Write save_dir/state (+ meta.json); copy to save_dir.best on new best
-    (reference utils.py:90-93).
+    """Write save_dir/state-<epoch> (+ meta.json); copy to save_dir.best on a
+    new best (reference utils.py:90-93).
 
     ``block=False`` returns as soon as orbax has snapshotted the arrays — the
     commit overlaps the next epoch's compute (orbax renames atomically on
@@ -63,47 +85,101 @@ def save_checkpoint(save_dir: str, state, *, epoch: int, best_acc: float,
     crash mid-save can never pair new metadata with old weights; meta.json is
     a human-readable convenience sidecar only). The caller must pass
     donation-safe arrays (host copies or fresh device copies) when deferring.
+
+    Durability: each epoch saves to a FRESH ``state-<epoch>`` dir; older dirs
+    are deleted only after the next save has *committed* (the
+    wait_until_finished below serializes on the previous async save). A hard
+    kill at any point therefore leaves at least one complete checkpoint on
+    disk — the round-2 layout (``force=True`` into one reused dir) deleted
+    the old checkpoint at save() time and had up to a whole epoch with
+    nothing resumable.
     """
     save_dir = os.path.abspath(save_dir)
     os.makedirs(save_dir, exist_ok=True)
-    path = os.path.join(save_dir, _STATE_DIR)
+    path = os.path.join(save_dir, f"{_STATE_DIR}-{epoch}")
     ckptr = _ckptr()
     ckptr.wait_until_finished()  # serialize with any previous async save
+    if jax.process_index() == 0:
+        # Drop superseded checkpoints but KEEP the newest committed one: it
+        # stays on disk until the save started below has itself committed
+        # (i.e. it is deleted at the start of the NEXT save), so a crash
+        # during this save still finds a complete checkpoint.
+        committed = _committed_state_dirs(save_dir)
+        keep = committed[-1] if committed else None
+        for old in committed:
+            if old != keep and old != path:
+                shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):  # same-epoch re-save (tests, restarts)
+        shutil.rmtree(path, ignore_errors=True)
     # numpy (not jnp) scalars: host-local device arrays are not serializable
     # in multi-host saves; numpy is treated as replicated on every host
     tree = {"state": state,
             "meta": {"epoch": np.asarray(epoch, np.int32),
                      "best_acc": np.asarray(best_acc, np.float32)}}
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, tree)
     with open(os.path.join(save_dir, _META), "w") as f:
-        json.dump({"epoch": epoch, "best_acc": float(best_acc)}, f)
+        json.dump({"epoch": epoch, "best_acc": float(best_acc),
+                   "format": _FORMAT, "state_dir": os.path.basename(path)}, f)
     if is_best or block:
         ckptr.wait_until_finished()
-    if is_best:
+    if is_best and jax.process_index() == 0:
         best_dir = save_dir + _BEST_SUFFIX
+        tmp = best_dir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        shutil.copytree(path, os.path.join(tmp, os.path.basename(path)))
+        shutil.copy2(os.path.join(save_dir, _META), os.path.join(tmp, _META))
         if os.path.isdir(best_dir):
             shutil.rmtree(best_dir)
-        shutil.copytree(save_dir, best_dir)
+        os.replace(tmp, best_dir)
+
+
+def _resolve_state_dir(save_dir: str) -> str:
+    """Newest committed state dir under save_dir. Prefers the explicit
+    ``state_dir`` pointer written to meta.json at save time (the format
+    marker); falls back to scanning for ``state-<epoch>`` / legacy ``state``
+    dirs, newest first."""
+    try:
+        with open(os.path.join(save_dir, _META)) as f:
+            pointed = json.load(f).get("state_dir")
+        if pointed:
+            full = os.path.join(save_dir, pointed)
+            if os.path.isdir(full):
+                return full
+    except (OSError, ValueError):
+        pass
+    committed = _committed_state_dirs(save_dir)
+    if committed:
+        return committed[-1]
+    raise FileNotFoundError(
+        f"Checkpoint not found: no state dir under {save_dir}")
 
 
 def load_checkpoint(save_dir: str, target_state) -> Tuple[Any, int, float]:
     """Restore (state, next_epoch, best_acc) for --resume
     (reference train.py:274-280)."""
     save_dir = os.path.abspath(save_dir)
-    path = os.path.join(save_dir, _STATE_DIR)
-    if not os.path.isdir(path):
-        raise FileNotFoundError(f"Checkpoint not found: {path}")
+    path = _resolve_state_dir(save_dir)
     # Distinguish the wrapped {'state','meta'} layout from the legacy bare
-    # state tree by the checkpoint's own structure metadata — a blanket
-    # try/except around restore would mask genuine restore failures (shape
-    # mismatches, corruption) behind a misleading legacy retry.
+    # state tree. Primary signal: the explicit format marker written to
+    # meta.json at save time (immune to orbax metadata API drift). Fallback
+    # for pre-marker checkpoints: probe the checkpoint's structure metadata.
+    # A blanket try/except around restore would mask genuine restore failures
+    # (shape mismatches, corruption) behind a misleading legacy retry.
     wrapped = False
     try:
-        md = _ckptr().metadata(path)
-        tree = getattr(getattr(md, "item_metadata", md), "tree", md)
-        wrapped = set(tree.keys()) == {"state", "meta"}
-    except Exception:
-        pass  # very old orbax dirs without readable metadata → legacy path
+        with open(os.path.join(save_dir, _META)) as f:
+            wrapped = json.load(f).get("format") == _FORMAT
+    except (OSError, ValueError):
+        pass
+    if not wrapped:
+        try:
+            md = _ckptr().metadata(path)
+            tree = getattr(getattr(md, "item_metadata", md), "tree", md)
+            wrapped = set(tree.keys()) == {"state", "meta"}
+        except Exception:
+            pass  # very old orbax dirs without readable metadata → legacy path
     if wrapped:
         tree = _ckptr().restore(
             path, {"state": target_state,
@@ -154,9 +230,15 @@ def load_student_for_finetune(checkpoint: str, target_student_params,
     """Load student backbone weights from either an orbax checkpoint dir
     (ours) or a torch/timm state_dict file (reference-world)."""
     if os.path.isdir(checkpoint):
-        # our layout: <dir>/state holds a TrainState pytree; accept the dir,
-        # its parent, or a bare params tree
-        for candidate in (os.path.join(checkpoint, _STATE_DIR), checkpoint):
+        # our layout: <dir>/state-<epoch> (or legacy <dir>/state) holds a
+        # TrainState pytree; accept the dir, its parent, or a bare params tree
+        candidates = []
+        try:
+            candidates.append(_resolve_state_dir(checkpoint))
+        except FileNotFoundError:
+            pass
+        candidates.append(checkpoint)
+        for candidate in candidates:
             if os.path.isdir(candidate) and os.listdir(candidate):
                 try:
                     restored = _ckptr().restore(candidate)

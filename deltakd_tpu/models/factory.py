@@ -12,7 +12,6 @@ the model object.
 from __future__ import annotations
 
 import dataclasses
-from math import prod as np_prod
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -80,18 +79,19 @@ def load_teacher_student(config, *, rng: jax.Array,
     from deltakd_tpu.ops.fused_block import best_block_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
-    # The fully-fused block kernel is gated to SINGLE-DEVICE meshes: GSPMD has
-    # no partitioning rule for the Mosaic custom call, so under a model axis
-    # it would all-gather the Megatron-sharded weights and under a multi-chip
-    # data axis it would replicate the global batch per chip — either way
-    # silently defeating the sharding. Multi-chip runs take the unfused
-    # module path (XLA partitions it normally); re-enabling the kernel at
-    # scale needs a shard_map wrapper over the data axis (docs/ROADMAP.md).
+    # The fully-fused block kernel carries its own custom_partitioning rule
+    # (ops/fused_block.py): the batch dim splits freely over data-parallel
+    # mesh axes and backward weight grads are psum'd — so multi-chip DP runs
+    # keep the kernel. It is still gated OFF under tensor parallelism (a
+    # model axis > 1): the kernel consumes full weight matrices, so the
+    # partitioner would all-gather the Megatron-sharded weights every step
+    # and silently defeat the TP sharding. TP runs take the unfused module
+    # path, which XLA partitions by the parallel/mesh.py rules.
     mesh_shape = getattr(config, "mesh_shape", None)
-    n_mesh_devices = (int(np_prod(mesh_shape)) if mesh_shape
-                      else len(jax.devices()))
+    model_axis = (int(mesh_shape[1]) if mesh_shape and len(mesh_shape) > 1
+                  else 1)
     kernels_on = attention_fn is not None
-    block_fn = best_block_fn(kernels_on and n_mesh_devices == 1)
+    block_fn = best_block_fn(kernels_on and model_axis == 1)
 
     from deltakd_tpu.models.registry import get_model_config
 

@@ -38,11 +38,15 @@ second output so logit-KD recipes don't pay the extra [B,N,D] write.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import (SdyShardingRule,
+                                                  custom_partitioning)
+from jax.sharding import NamedSharding, PartitionSpec
 
 try:  # pallas TPU backend is unavailable on CPU test runs
     from jax.experimental.pallas import tpu as pltpu
@@ -50,6 +54,18 @@ try:  # pallas TPU backend is unavailable on CPU test runs
     _HAS_PLTPU = True
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
+
+# Interpret mode runs the kernel as traced JAX ops (works on CPU) — used by
+# the virtual-mesh tests and the multi-chip dry run to exercise the exact
+# fused + custom_partitioning code path without TPU hardware. Opt-in: the
+# CPU test suite must not silently take the (slow) interpreted kernel.
+_INTERPRET = os.environ.get("DELTAKD_FUSED_INTERPRET") == "1"
+
+
+def set_interpret(on: bool) -> None:
+    """Force pallas interpret mode (CPU-executable kernels) process-wide."""
+    global _INTERPRET
+    _INTERPRET = bool(on)
 
 
 # -----------------------------------------------------------------------------
@@ -214,6 +230,7 @@ def _scale_spec(B):
 
 
 def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
+    """Local (per-shard) fused forward. Returns (out, feat) or a bare out."""
     B, N, D = x.shape
     out_shape = [jax.ShapeDtypeStruct((B, N, D), x.dtype)]
     out_specs = [_row_spec(N, D)]
@@ -222,7 +239,7 @@ def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
         out_specs.append(_row_spec(N, D))
     # qkv 6ND² + proj 2ND² + mlp 16ND² + attention 4N²D (matmul FLOPs)
     flops_elem = 24 * N * D * D + 4 * N * N * D
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat),
         grid=(B,),
         in_specs=[_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
@@ -238,8 +255,8 @@ def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
             # at 384px (N=578) that nominal sum exceeds the 16 MB default
             # while the true live set still fits — raise the cap
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(x, s_attn, s_mlp, *ws)
-    return outs if need_feat else (outs, None)
 
 
 # -----------------------------------------------------------------------------
@@ -383,11 +400,14 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
 
 
 def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
+    """Local (per-shard) fused backward. Returns the flat (dx, *dws) tuple;
+    the dws are this shard's PARTIAL sums — the caller psums over any batch
+    sharding axes."""
     B, N, D = x.shape
     need_feat = g_feat is not None
     g_in = [g_out] + ([g_feat] if need_feat else [])
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat),
         grid=(B,),
         in_specs=([_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
@@ -400,8 +420,149 @@ def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
             transcendentals=B * N * D * 10),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(x, s_attn, s_mlp, *ws, *g_in)
-    return outs[0], outs[1:]
+
+
+# -----------------------------------------------------------------------------
+# Multi-chip partitioning: the Mosaic custom call has no GSPMD/Shardy rule, so
+# under a multi-device mesh the partitioner would otherwise fall back to
+# replicating the global batch per chip. custom_partitioning supplies the
+# obvious SPMD decomposition: the batch dim partitions freely (every grid step
+# is one independent batch element), weights are replicated, and the backward
+# weight-grads — per-shard partial sums — are psum'd over the batch-sharding
+# mesh axes. This is the TPU equivalent of the reference's DDP gradient
+# all-reduce (reference tools/utils.py:23-65) happening *inside* the kernel's
+# partitioning rule. Activations stay [B-local, N, D] per chip end to end.
+# -----------------------------------------------------------------------------
+
+_CP_CACHE: Dict[Tuple, Any] = {}
+
+
+def _batch_axes(sharding):
+    """Mesh axis name(s) an array's leading dim is sharded over, or None."""
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _w_factor_mappings():
+    return tuple((f"w{i}a", f"w{i}b") for i in range(len(_W_NAMES)))
+
+
+def _fwd_sharding_rule(need_feat: bool) -> SdyShardingRule:
+    wmaps = _w_factor_mappings()
+    x_map = ("b", "n", "d")
+    s_map = ("b", "u")
+    out_maps = (x_map, x_map) if need_feat else (x_map,)
+    non_batch = ("n", "d", "u") + tuple(f for m in wmaps for f in m)
+    return SdyShardingRule(
+        operand_mappings=(x_map, s_map, s_map) + wmaps,
+        result_mappings=out_maps,
+        need_replication_factors=non_batch)
+
+
+def _bwd_sharding_rule(need_feat: bool) -> SdyShardingRule:
+    wmaps = _w_factor_mappings()
+    x_map = ("b", "n", "d")
+    s_map = ("b", "u")
+    g_maps = (x_map, x_map) if need_feat else (x_map,)
+    non_batch = ("n", "d", "u") + tuple(f for m in wmaps for f in m)
+    return SdyShardingRule(
+        operand_mappings=(x_map, s_map, s_map) + wmaps + g_maps,
+        result_mappings=(x_map,) + wmaps,
+        need_replication_factors=non_batch)
+
+
+def _fwd_shardings(mesh, baxes, need_feat):
+    x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+    s_sh = NamedSharding(mesh, PartitionSpec(baxes, None))
+    repl = NamedSharding(mesh, PartitionSpec())
+    args = (x_sh, s_sh, s_sh) + (repl,) * len(_W_NAMES)
+    outs = (x_sh, x_sh) if need_feat else x_sh
+    return args, outs
+
+
+def _get_fwd_partitioned(need_feat: bool, eps: float, H: int):
+    key = ("fwd", need_feat, eps, H)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+
+    def local(x, s_attn, s_mlp, *ws):
+        return _fused_block_fwd_call(x, s_attn, s_mlp, ws, eps=eps, H=H,
+                                     need_feat=need_feat)
+
+    def infer(mesh, arg_shapes, result_shape):
+        baxes = _batch_axes(arg_shapes[0].sharding)
+        _, outs = _fwd_shardings(mesh, baxes, need_feat)
+        return outs
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxes = _batch_axes(arg_shapes[0].sharding)
+        args, outs = _fwd_shardings(mesh, baxes, need_feat)
+        return mesh, local, outs, args
+
+    cp = custom_partitioning(local)
+    cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule=_fwd_sharding_rule(need_feat))
+    _CP_CACHE[key] = cp
+    return cp
+
+
+def _get_bwd_partitioned(need_feat: bool, eps: float, H: int):
+    key = ("bwd", need_feat, eps, H)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    n_w = len(_W_NAMES)
+
+    def local(x, s_attn, s_mlp, *rest):
+        ws, gs = rest[:n_w], rest[n_w:]
+        g_feat = gs[1] if need_feat else None
+        return _fused_block_bwd_call(x, s_attn, s_mlp, ws, gs[0], g_feat,
+                                     eps=eps, H=H)
+
+    def out_shardings(mesh, baxes):
+        x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        return (x_sh,) + (repl,) * n_w
+
+    def infer(mesh, arg_shapes, result_shape):
+        return out_shardings(mesh, _batch_axes(arg_shapes[0].sharding))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxes = _batch_axes(arg_shapes[0].sharding)
+        x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        s_sh = NamedSharding(mesh, PartitionSpec(baxes, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        n_g = 2 if need_feat else 1
+        args = (x_sh, s_sh, s_sh) + (repl,) * n_w + (x_sh,) * n_g
+
+        def lower(x, s_attn, s_mlp, *rest):
+            outs = local(x, s_attn, s_mlp, *rest)
+            dx, dws = outs[0], outs[1:]
+            if baxes is not None:
+                # per-shard partial weight grads → DDP-style all-reduce
+                dws = jax.lax.psum(tuple(dws), baxes)
+            return (dx,) + tuple(dws)
+
+        return mesh, lower, out_shardings(mesh, baxes), args
+
+    cp = custom_partitioning(local)
+    cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule=_bwd_sharding_rule(need_feat))
+    _CP_CACHE[key] = cp
+    return cp
+
+
+def _multi_device() -> bool:
+    """Route through custom_partitioning only when a mesh can exist. On a
+    single-device process the direct pallas call avoids any partitioner
+    involvement (identical lowering to round 2's)."""
+    forced = os.environ.get("DELTAKD_FUSED_CP")
+    if forced in ("0", "1"):
+        return forced == "1"
+    return jax.device_count() > 1
 
 
 # -----------------------------------------------------------------------------
@@ -412,9 +573,13 @@ def _make_fused_block(need_feat: bool):
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
     def fused(x, scales, ws, eps, H):
-        out, feat = _fused_block_fwd_call(x, scales[0], scales[1], ws,
-                                          eps=eps, H=H, need_feat=need_feat)
-        return (out, feat) if need_feat else out
+        if _multi_device():
+            outs = _get_fwd_partitioned(need_feat, eps, H)(
+                x, scales[0], scales[1], *ws)
+        else:
+            outs = _fused_block_fwd_call(x, scales[0], scales[1], ws,
+                                         eps=eps, H=H, need_feat=need_feat)
+        return tuple(outs) if need_feat else outs
 
     def fwd(x, scales, ws, eps, H):
         return fused(x, scales, ws, eps, H), (x, scales, ws)
@@ -425,8 +590,14 @@ def _make_fused_block(need_feat: bool):
             g_out, g_feat = g
         else:
             g_out, g_feat = g, None
-        dx, dws = _fused_block_bwd_call(x, scales[0], scales[1], ws, g_out,
-                                        g_feat, eps=eps, H=H)
+        if _multi_device():
+            gs = (g_out, g_feat) if need_feat else (g_out,)
+            outs = _get_bwd_partitioned(need_feat, eps, H)(
+                x, scales[0], scales[1], *ws, *gs)
+        else:
+            outs = _fused_block_bwd_call(x, scales[0], scales[1], ws, g_out,
+                                         g_feat, eps=eps, H=H)
+        dx, dws = outs[0], outs[1:]
         dws = tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws))
         # droppath scales are non-trainable masks — zero cotangent
         return dx, (jnp.zeros_like(scales[0]), jnp.zeros_like(scales[1])), dws
@@ -482,7 +653,11 @@ def reference_vit_block(x, params, *, num_heads, ln_eps=1e-6,
 
 
 def use_fused_block() -> bool:
-    return _HAS_PLTPU and jax.default_backend() == "tpu"
+    """True when the Pallas kernel can execute: on a real TPU backend, or
+    anywhere in interpret mode (set_interpret / DELTAKD_FUSED_INTERPRET=1)."""
+    if not _HAS_PLTPU:
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def best_block_fn(enabled: bool = True):
@@ -490,8 +665,10 @@ def best_block_fn(enabled: bool = True):
     (the model's unfused module path).
 
     Callers should pass enabled=False when block weights are sharded over a
-    model axis (Megatron TP): the kernel consumes full weight matrices, so XLA
-    would insert per-step all-gathers and defeat the sharding."""
+    model axis (Megatron TP): the kernel consumes full weight matrices, so the
+    partitioner would insert per-step all-gathers and defeat the sharding.
+    Multi-chip DATA-parallel meshes are fine — the custom_partitioning rule
+    above splits the batch across chips and psums the weight grads."""
     if enabled and use_fused_block():
         return fused_vit_block
     return None

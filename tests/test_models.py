@@ -113,11 +113,11 @@ def test_pos_embed_same_size_identity():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
 
 
-def test_factory_disables_fused_block_on_multi_device_meshes(monkeypatch):
-    """GSPMD cannot partition the Mosaic custom call: under a model axis it
-    would all-gather the Megatron-sharded weights, and under a multi-chip
-    data axis it would replicate the global batch per chip. The factory must
-    inject the fused kernel only for single-device meshes."""
+def test_factory_disables_fused_block_on_tensor_parallel_meshes(monkeypatch):
+    """The fused kernel ships a custom_partitioning rule that splits the
+    batch over data-parallel axes, so multi-chip DP keeps it; but under a
+    model axis the kernel would all-gather the Megatron-sharded weights each
+    step, so the factory must inject it only when model-axis size is 1."""
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.models import factory
     from deltakd_tpu.ops import fused_block
@@ -143,7 +143,7 @@ def test_factory_disables_fused_block_on_multi_device_meshes(monkeypatch):
         return student.module.block_fn
 
     assert build((4, 2)) is None                 # TP → unfused
-    assert build((8, 1)) is None                 # multi-chip DP → unfused
+    assert build((8, 1)) is not None             # multi-chip DP → fused (cp rule)
     assert build((1, 1)) is not None             # single device → fused
     assert build((1,)) is not None
 
