@@ -88,13 +88,32 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _erf_from_u(x, u):
+    """A&S 7.1.26 with the exp supplied: u = exp(-x*x) for x >= 0 pre-|.|;
+    callers pass u = exp(-(x*INV_SQRT2)^2) = exp(-0.5*x_orig^2)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * u)
+
+
 def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
 
 
-def _gelu_grad(x):
-    phi = jnp.exp(-0.5 * x * x) * _INV_SQRT2PI
-    return 0.5 * (1.0 + _erf(x * _INV_SQRT2)) + x * phi
+def _gelu_and_grad(x):
+    """(gelu(x), gelu'(x)) sharing ONE transcendental: u = exp(-x^2/2) is
+    both the erf poly's exp(-(x/sqrt2)^2) and the pdf term phi — the
+    backward's dominant VPU cost was three separate exp/erf passes over the
+    [N, 4D] hidden (kernel is VPU-bound at D=192, benchmarks/scratch_kernels
+    round-3 ablation: stripping gelu+softmax lifted fwd 45.7->78.1 TF/s)."""
+    u = jnp.exp(-0.5 * x * x)
+    cdf = 0.5 * (1.0 + _erf_from_u(x * _INV_SQRT2, u))
+    return x * cdf, cdf + x * u * _INV_SQRT2PI
 
 
 def _ln_fwd(x32, gamma, beta, eps):
@@ -117,8 +136,18 @@ def _ln_bwd(dy, xhat, rstd, gamma):
     return dx, dy * xhat, dy
 
 
-def _attention_fwd_one(qkv32, D, H, scale, dtype):
-    """Per-head attention over a packed [N, 3D] fp32 qkv buffer → [N, D]."""
+def _attention_fwd_one(qkv32, D, H, scale, dtype, post_div=False):
+    """Per-head attention over a packed [N, 3D] fp32 qkv buffer → [N, D].
+
+    With post_div=True, softmax normalization happens AFTER the e@v matmul,
+    on the [N, hd] output instead of the [N, N] probability matrix —
+    mathematically identical ((e/S)@v == (e@v)/S since S is per-row), and
+    the [N, N] division pass was 18% of the whole forward at D=192 in the
+    round-3 ablation (the kernel is VPU-bound there; see _gelu_and_grad
+    note). Kernel-only: the pure-XLA reference keeps the classic pre-div
+    order so its fp32 numerics match the flax module bit-for-bit-ish (the
+    unnormalized e@v accumulates at a ~N× larger magnitude, which costs a
+    few ulps under the TPU's default pass-split matmul precision)."""
     hd = D // H
     outs = []
     for h in range(H):
@@ -130,14 +159,20 @@ def _attention_fwd_one(qkv32, D, H, scale, dtype):
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            p.astype(dtype), v.astype(dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        if post_div:
+            o = jax.lax.dot_general(
+                e.astype(dtype), v.astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(o / jnp.sum(e, axis=-1, keepdims=True))
+        else:
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(dtype), v.astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=-1)
 
 
-def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp):
+def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp, post_div=False):
     """The whole block forward in fp32-accumulated math on one element.
 
     x32: [N, D] tokens; s_attn/s_mlp: scalar droppath branch scales. Returns
@@ -157,7 +192,7 @@ def _block_math_fwd(x32, w, eps, H, dtype, s_attn, s_mlp):
     y, _, _ = _ln_fwd(x32, w["g1"], w["b1"], eps)
     qkv = jax.lax.dot_general(y.astype(dtype), w["wqkv"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) + w["bqkv"]
-    merged = _attention_fwd_one(qkv, D, H, scale, dtype)
+    merged = _attention_fwd_one(qkv, D, H, scale, dtype, post_div=post_div)
     attn = jax.lax.dot_general(merged.astype(dtype), w["wproj"],
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + w["bproj"]
@@ -207,7 +242,8 @@ def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     b = pl.program_id(0)
     x32 = x_ref[0].astype(jnp.float32)
     out, feat = _block_math_fwd(x32, w, eps, H, x_ref.dtype,
-                                s_attn_ref[b, 0], s_mlp_ref[b, 0])
+                                s_attn_ref[b, 0], s_mlp_ref[b, 0],
+                                post_div=True)
     out_refs[0][0] = out.astype(out_refs[0].dtype)
     if need_feat:
         out_refs[1][0] = feat.astype(out_refs[1].dtype)
@@ -263,30 +299,60 @@ def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
 # Backward: recompute the forward per element, then reverse it.
 # -----------------------------------------------------------------------------
 
-def _attention_bwd_one(qkv, dmerged, D, H, hd, scale, dtype):
-    """dqkv [N, 3D] for one element, rebuilding the softmax from qkv."""
-    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
-    for i in range(H):
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, D + i * hd:D + (i + 1) * hd]
-        v = qkv[:, 2 * D + i * hd:2 * D + (i + 1) * hd]
+def _attention_fwd_stash(qkv, D, H, scale, dtype):
+    """Forward attention that also returns the per-head unnormalized
+    probability matrices and reciprocal row sums, so the backward can reuse
+    them instead of rebuilding the scores (saves one [N,N] matmul and one
+    exp pass per head — the backward previously rebuilt softmax twice)."""
+    hd = D // H
+    outs, es, rss = [], [], []
+    for h in range(H):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
         s = jax.lax.dot_general((q * scale).astype(dtype), k.astype(dtype),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        p_lp = p.astype(dtype)
-        do_lp = dmerged[:, i * hd:(i + 1) * hd].astype(dtype)
-        dv = jax.lax.dot_general(p_lp, do_lp, (((0,), (0,)), ((), ())),
+        rs = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(e.astype(dtype), v.astype(dtype),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        outs.append(o * rs)
+        es.append(e)
+        rss.append(rs)
+    return jnp.concatenate(outs, axis=-1), es, rss
+
+
+def _attention_bwd_one(qkv, dmerged, es, rss, D, H, hd, scale, dtype):
+    """dqkv [N, 3D] for one element from the stashed (e, 1/S) per head.
+
+    All softmax normalizations are folded into [N, hd] row scalings —
+    with p = e·rS (rS the per-row reciprocal sum):
+      dv = pᵀ@do           = eᵀ @ (do·rS)
+      ds = p·(dp − c)      = rS · t,  t = e·(dp − c),  c = rowsum(dp·e)·rS
+      dq = (ds@k)·scale    = (t@k) · (scale·rS)
+      dk = dsᵀ@(q·scale)   = tᵀ @ (q·scale·rS)
+    so no [N, N] division/scaling pass ever runs (VPU-bound regime)."""
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for i in range(H):
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, D + i * hd:D + (i + 1) * hd]
+        v = qkv[:, 2 * D + i * hd:2 * D + (i + 1) * hd]
+        e, rs = es[i], rss[i]
+        do = dmerged[:, i * hd:(i + 1) * hd]
+        dv = jax.lax.dot_general(e.astype(dtype), (do * rs).astype(dtype),
+                                 (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do_lp, v.astype(dtype), (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do.astype(dtype), v.astype(dtype),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds_lp = ds.astype(dtype)
-        dq = jax.lax.dot_general(ds_lp, k.astype(dtype), (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds_lp, (q * scale).astype(dtype),
+        c = jnp.sum(dp * e, axis=-1, keepdims=True) * rs
+        t = (e * (dp - c)).astype(dtype)
+        dq = jax.lax.dot_general(t, k.astype(dtype), (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * (scale * rs)
+        dk = jax.lax.dot_general(t, (q * (scale * rs)).astype(dtype),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dqkv_parts_q.append(dq)
@@ -323,7 +389,7 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     y_lp = y.astype(dtype)
     qkv = jax.lax.dot_general(y_lp, w["wqkv"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) + w["bqkv"]
-    merged = _attention_fwd_one(qkv, D, H, scale, dtype)
+    merged, att_es, att_rss = _attention_fwd_stash(qkv, D, H, scale, dtype)
     merged_lp = merged.astype(dtype)
     attn = jax.lax.dot_general(merged_lp, w["wproj"], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + w["bproj"]
@@ -332,7 +398,7 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     z_lp = z.astype(dtype)
     hpre = jax.lax.dot_general(z_lp, w["w1"], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + w["bf1"]
-    h = _gelu(hpre)
+    h, hgrad = _gelu_and_grad(hpre)
     h_lp = h.astype(dtype)
 
     # ---- backward
@@ -348,7 +414,7 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     dbf2 = jnp.sum(g_feat, axis=0, keepdims=True)
     dh = jax.lax.dot_general(g_feat_lp, w["w2"], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dhpre = dh * _gelu_grad(hpre)
+    dhpre = dh * hgrad
     dhpre_lp = dhpre.astype(dtype)
     dw1 = jax.lax.dot_general(z_lp, dhpre_lp, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -369,8 +435,9 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     dmerged = jax.lax.dot_general(dattn_lp, w["wproj"], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
-    # attention backward per head, rebuilding p from qkv
-    dqkv = _attention_bwd_one(qkv, dmerged, D, H, hd, scale, dtype)
+    # attention backward per head, reusing the recompute's (e, 1/S) stash
+    dqkv = _attention_bwd_one(qkv, dmerged, att_es, att_rss, D, H, hd, scale,
+                              dtype)
     dqkv_lp = dqkv.astype(dtype)
 
     # qkv = LN1(x) @ wqkv + bqkv

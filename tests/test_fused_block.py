@@ -115,6 +115,9 @@ def test_model_with_fused_blocks_matches_unfused():
                                      - fr.astype(jnp.float32)))) < 0.02 * s
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device virtual CPU mesh "
+                           "(real-TPU runs see a single chip)")
 class TestMultiDeviceFusedKernel:
     """The fused kernel's custom_partitioning rule on the virtual 8-device
     CPU mesh, executed via Pallas interpret mode. This is the one code path
