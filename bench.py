@@ -52,7 +52,7 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
 
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
                       dataset="cifar-100", input_size=224, dtype="bfloat16",
-                      drop_path_rate=0.1, epochs=300)
+                      drop_path_rate=0.1, epochs=300, aug_pixel_bf16=True)
     from deltakd_tpu.models.registry import get_model_config
 
     attn = best_attention_fn(True)

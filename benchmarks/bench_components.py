@@ -65,7 +65,7 @@ def main(batches):
     for batch in batches:
         cfg = TrainConfig(batch_size=batch, distillation_type="soft",
                           dataset="cifar-100", input_size=224, dtype="bfloat16",
-                          drop_path_rate=0.1, epochs=300)
+                          drop_path_rate=0.1, epochs=300, aug_pixel_bf16=True)
         attn = best_attention_fn(True)
         block_fn = best_block_fn(True)
         student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,

@@ -279,7 +279,10 @@ def _bcast(v, img):
 
 
 def _blend(a, b, factor):
-    return _clip(b + factor * (a - b))
+    # cast the [B,1,1,1] factor to the image dtype: under the bf16 pixel
+    # stage an fp32 factor would silently promote the whole image op back
+    # to fp32 (doubling the HBM traffic the bf16 stage exists to halve)
+    return _clip(b + jnp.asarray(factor).astype(b.dtype) * (a - b))
 
 
 def op_invert(img, m, key, fill):
@@ -292,13 +295,13 @@ def op_solarize(img, m, key, fill):
 
 
 def op_solarize_add(img, m, key, fill):
-    add = _bcast(jnp.asarray(m) / 10.0 * 110.0, img)
+    add = _bcast(jnp.asarray(m) / 10.0 * 110.0, img).astype(img.dtype)
     return jnp.where(img < 128.0, _clip(img + add), img)
 
 
 def op_posterize(img, m, key, fill):
     bits = jnp.maximum(4 - jnp.floor(jnp.asarray(m) / 10.0 * 4.0), 1.0)  # Increasing
-    q = _bcast(jnp.exp2(8.0 - bits), img)
+    q = _bcast(jnp.exp2(8.0 - bits), img).astype(img.dtype)
     return jnp.floor(jnp.floor(img) / q) * q
 
 
@@ -353,7 +356,7 @@ def op_equalize(img, m, key, fill):
                       preferred_element_type=jnp.float32)
     mapped = jnp.einsum("bpcl,bpcl->bpc", oh_lo.astype(jnp.float32), w_lo)
     mapped = mapped.reshape(B, H, W, C)
-    out = jnp.where(step[:, None, None, :] > 0, mapped, x)
+    out = jnp.where(step[:, None, None, :] > 0, mapped.astype(x.dtype), x)
     return out[0] if squeeze else out
 
 
@@ -365,15 +368,17 @@ def _enhance_factor(m, key, batch_shape=()):
 
 def op_color(img, m, key, fill):
     factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
-    gray = jnp.sum(img * _GRAY, axis=-1, keepdims=True)
+    gray = jnp.sum(img * _GRAY.astype(img.dtype), axis=-1, keepdims=True)
     return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
 
 
 def op_contrast(img, m, key, fill):
     factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
-    gray = jnp.sum(img * _GRAY, axis=-1)
-    mean = jnp.round(jnp.mean(jnp.floor(gray), axis=(-2, -1)))  # [B] or scalar
-    return _blend(img, jnp.broadcast_to(_bcast(mean, img), img.shape), factor)
+    gray = jnp.sum(img * _GRAY.astype(img.dtype), axis=-1)
+    mean = jnp.round(jnp.mean(jnp.floor(gray.astype(jnp.float32)),
+                              axis=(-2, -1)))  # [B] or scalar
+    return _blend(img, jnp.broadcast_to(_bcast(mean, img).astype(img.dtype),
+                                        img.shape), factor)
 
 
 def op_brightness(img, m, key, fill):
@@ -384,11 +389,11 @@ def op_brightness(img, m, key, fill):
 def _depthwise_3x3(x: jax.Array, kernel9: np.ndarray) -> jax.Array:
     """[B,H,W,C] depthwise 3×3 conv, one fused conv for the whole batch."""
     C = x.shape[-1]
-    k = jnp.asarray(kernel9, jnp.float32).reshape(3, 3, 1, 1)
+    k = jnp.asarray(kernel9, x.dtype).reshape(3, 3, 1, 1)
     k = jnp.tile(k, (1, 1, 1, C))
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C)
+        feature_group_count=C, preferred_element_type=x.dtype)
 
 
 def op_sharpness(img, m, key, fill):
@@ -628,20 +633,21 @@ def color_jitter_batch(key: jax.Array, imgs: jax.Array, strength: float
     B = imgs.shape[0]
     kb, kc, ks, ko = jax.random.split(key, 4)
     lo, hi = max(0.0, 1 - strength), 1 + strength
-    fb = _bcast(jax.random.uniform(kb, (B,), minval=lo, maxval=hi), imgs)
-    fc = _bcast(jax.random.uniform(kc, (B,), minval=lo, maxval=hi), imgs)
-    fs = _bcast(jax.random.uniform(ks, (B,), minval=lo, maxval=hi), imgs)
+    dt = imgs.dtype
+    fb = _bcast(jax.random.uniform(kb, (B,), minval=lo, maxval=hi), imgs).astype(dt)
+    fc = _bcast(jax.random.uniform(kc, (B,), minval=lo, maxval=hi), imgs).astype(dt)
+    fs = _bcast(jax.random.uniform(ks, (B,), minval=lo, maxval=hi), imgs).astype(dt)
 
     def brightness(im):
         return _clip(im * fb)
 
     def contrast(im):
-        gmean = jnp.mean(jnp.sum(im * _GRAY, axis=-1), axis=(-2, -1))
-        gmean = _bcast(gmean, im)
+        gmean = jnp.mean(jnp.sum(im * _GRAY.astype(dt), axis=-1), axis=(-2, -1))
+        gmean = _bcast(gmean, im).astype(dt)
         return _clip((im - gmean) * fc + gmean)
 
     def saturation(im):
-        gray = jnp.sum(im * _GRAY, axis=-1, keepdims=True)
+        gray = jnp.sum(im * _GRAY.astype(dt), axis=-1, keepdims=True)
         return _clip((im - gray) * fs + gray)
 
     fns = [brightness, contrast, saturation]
@@ -664,7 +670,7 @@ def gaussian_blur_batch(key: jax.Array, imgs: jax.Array, radius_min=0.1,
     radius = jax.random.uniform(k_r, (B,), minval=radius_min, maxval=radius_max)
     taps = jnp.arange(-4.0, 5.0)
     w = jnp.exp(-0.5 * (taps[None, :] / jnp.maximum(radius[:, None], 1e-3)) ** 2)
-    w = w / jnp.sum(w, axis=1, keepdims=True)  # [B, 9]
+    w = (w / jnp.sum(w, axis=1, keepdims=True)).astype(imgs.dtype)  # [B, 9]
 
     def pass_axis(x, axis):
         pad = [(0, 0)] * 4
@@ -686,7 +692,7 @@ def gaussian_blur(key: jax.Array, img: jax.Array, radius_min=0.1,
 
 
 def grayscale(img: jax.Array) -> jax.Array:
-    gray = jnp.sum(img * _GRAY, axis=-1, keepdims=True)
+    gray = jnp.sum(img * _GRAY.astype(img.dtype), axis=-1, keepdims=True)
     return jnp.broadcast_to(jnp.round(gray), img.shape)
 
 
@@ -710,7 +716,10 @@ def random_erasing_batch(key: jax.Array, imgs: jax.Array, prob: float,
     xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     box = ((yy >= top[:, None, None]) & (yy < (top + eh)[:, None, None])
            & (xx >= left[:, None, None]) & (xx < (left + ew)[:, None, None]))
-    noise = jax.random.normal(k_noise, imgs.shape, imgs.dtype)
+    # generate at fp32 then cast so the bf16 pixel stage erases with the
+    # same noise values (rounded) as the fp32 path — bit-identical augment
+    # semantics modulo rounding, and the cast fuses into the generator
+    noise = jax.random.normal(k_noise, imgs.shape, jnp.float32).astype(imgs.dtype)
     do = jax.random.bernoulli(k_do, prob, (B,))
     return jnp.where((do[:, None, None] & box)[..., None], noise, imgs)
 
@@ -739,6 +748,9 @@ class AugmentConfig:
     src: bool = False                  # simple resize+crop instead of RRC
     small_input_crop: bool = False     # ≤32px: RandomCrop(pad=4) (datasets.py:66-68)
     eval_crop_ratio: float = 0.875
+    pixel_bf16: bool = False           # run post-resample pixel ops in bf16
+    # (halves the HBM traffic of the full-resolution elementwise passes;
+    # ±1/255 pixel tolerance — see test_pixel_bf16_matches_fp32)
 
     @classmethod
     def from_config(cls, cfg) -> "AugmentConfig":
@@ -753,13 +765,14 @@ class AugmentConfig:
             reprob=cfg.reprob if not cfg.ThreeAugment else 0.0,
             three_augment=cfg.ThreeAugment, src=cfg.src,
             small_input_crop=cfg.input_size <= 32,
-            eval_crop_ratio=cfg.eval_crop_ratio)
+            eval_crop_ratio=cfg.eval_crop_ratio,
+            pixel_bf16=getattr(cfg, "aug_pixel_bf16", False))
 
 
 def _normalize(img: jax.Array, ac: AugmentConfig) -> jax.Array:
-    mean = jnp.asarray(ac.mean) * 255.0
-    std = jnp.asarray(ac.std) * 255.0
-    return (img - mean) / std
+    mean = (jnp.asarray(ac.mean) * 255.0).astype(img.dtype)
+    inv_std = (1.0 / (jnp.asarray(ac.std) * 255.0)).astype(img.dtype)
+    return (img - mean) * inv_std
 
 
 def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
@@ -836,6 +849,11 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),
             lambda x: x, imgs)
     imgs = _clip(imgs)
+    if ac.pixel_bf16:
+        # everything from here on is full-resolution elementwise passes;
+        # bf16 halves their HBM traffic (the geometric stage above stays
+        # fp32 — coordinates and interpolation weights need the mantissa)
+        imgs = imgs.astype(jnp.bfloat16)
 
     # 5. pixel ops
     if ac.three_augment:

@@ -96,6 +96,7 @@ def apply_mixup(key: jax.Array, images: jax.Array, labels: jax.Array,
 
     flipped = images[::-1]
     lam_b = lam_mix.reshape(shape + (1, 1, 1)) if per_elem else lam_mix
+    lam_b = jnp.asarray(lam_b).astype(images.dtype)  # keep bf16 pixel stage bf16
     mixed_m = lam_b * images + (1.0 - lam_b) * flipped
 
     if per_elem:

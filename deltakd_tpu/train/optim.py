@@ -26,9 +26,10 @@ compilation.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -102,12 +103,85 @@ def make_schedule(cfg, steps_per_epoch: int) -> Callable[[jax.Array], jax.Array]
     return sched
 
 
-def make_optimizer(cfg, params, steps_per_epoch: int) -> optax.GradientTransformation:
+class FusedAdamWState(NamedTuple):
+    """Moments held as single flat fp32 vectors (not per-leaf trees)."""
+    count: jax.Array
+    mu: jax.Array
+    nu: jax.Array
+
+
+def fused_clipped_adamw(learning_rate: Callable[[jax.Array], jax.Array],
+                        b1: float, b2: float, eps: float, weight_decay: float,
+                        params, clip_norm: Optional[float] = None
+                        ) -> optax.GradientTransformation:
+    """optax.chain(clip_by_global_norm, adamw(mask=wd_mask)) fused over ONE
+    flat parameter vector.
+
+    The per-leaf optax chain lowers to ~2 fusions per leaf; at DeiT-Tiny's
+    ~220 leaves that is >400 kernel launches of mostly tiny arrays, measured
+    at 5.9 ms/step on v5e — longer than the teacher's entire attention stack.
+    Raveling grads+params into one 5.7M-element vector turns the update into
+    a handful of full-bandwidth element passes (~1 ms). Numerics are
+    identical to the optax chain in fp32 (element order within the vector is
+    irrelevant to AdamW's pointwise math; the global-norm clip reduction is
+    the same sum). Structure of the update tree is preserved via the
+    ravel_pytree unravel closure, so callers see a drop-in
+    GradientTransformation.
+
+    Not used under tensor parallelism: raveling Megatron-sharded params
+    would all-gather them every step (make_optimizer gates on mesh_shape)."""
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+    n = flat0.size
+    # 1.0 where decay applies; built from the same wd_mask rule
+    mask_tree = jax.tree.map(
+        lambda leaf, m: jnp.full(jnp.shape(leaf), 1.0 if m else 0.0,
+                                 jnp.float32),
+        params, wd_mask(params))
+    del flat0
+
+    def init_fn(ps):
+        return FusedAdamWState(count=jnp.zeros((), jnp.int32),
+                               mu=jnp.zeros((n,), jnp.float32),
+                               nu=jnp.zeros((n,), jnp.float32))
+
+    def update_fn(grads, state, ps):
+        g = jax.flatten_util.ravel_pytree(grads)[0].astype(jnp.float32)
+        p = jax.flatten_util.ravel_pytree(ps)[0].astype(jnp.float32)
+        m = jax.flatten_util.ravel_pytree(mask_tree)[0]
+        if clip_norm is not None:
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            g = g * (clip_norm / jnp.maximum(gnorm, clip_norm))
+        count = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * g * g
+        c = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1 ** c)
+        nu_hat = nu / (1.0 - b2 ** c)
+        lr = learning_rate(state.count).astype(jnp.float32)
+        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
+                     + weight_decay * m * p)
+        return unravel(upd), FusedAdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg, params, steps_per_epoch: int,
+                   fused: Optional[bool] = None) -> optax.GradientTransformation:
     sched = make_schedule(cfg, steps_per_epoch)
+    betas = cfg.opt_betas or (0.9, 0.999)
+    if fused is None:
+        # flat-vector update is wrong-by-bandwidth under TP (see
+        # fused_clipped_adamw docstring); mesh_shape[1] is the model axis
+        ms = getattr(cfg, "mesh_shape", None)
+        fused = not (ms is not None and len(ms) > 1 and ms[1] > 1)
+    if cfg.opt == "adamw" and fused:
+        return fused_clipped_adamw(
+            sched, b1=betas[0], b2=betas[1], eps=cfg.opt_eps,
+            weight_decay=cfg.weight_decay, params=params,
+            clip_norm=cfg.clip_grad)
     chain = []
     if cfg.clip_grad is not None:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
-    betas = cfg.opt_betas or (0.9, 0.999)
     if cfg.opt == "adamw":
         chain.append(optax.adamw(
             learning_rate=sched, b1=betas[0], b2=betas[1], eps=cfg.opt_eps,

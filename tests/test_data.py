@@ -123,6 +123,33 @@ def test_three_augment_transform():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("three_aug", [False, True])
+def test_pixel_bf16_matches_fp32(three_aug):
+    """--aug-pixel-bf16 runs the post-resample pixel stage in bf16; same RNG
+    stream, so outputs must match the fp32 pipeline to pixel-rounding
+    tolerance (bf16 holds integers ≤256 exactly; errors are a few /255)."""
+    base = dict(dataset="cifar-100", input_size=64, aa="rand-m9-mstd0.5-inc1",
+                color_jitter=0.3, reprob=0.25, ThreeAugment=three_aug,
+                src=False, eval_crop_ratio=0.875)
+    ac32 = A.AugmentConfig.from_config(type("C", (), base))
+    ac16 = A.AugmentConfig.from_config(
+        type("C", (), dict(base, aug_pixel_bf16=True)))
+    assert ac16.pixel_bf16 and not ac32.pixel_bf16
+    batch = jnp.asarray(np.stack([_rand_img(i) for i in range(8)]))
+    for seed in (0, 1, 2):
+        out32 = A.train_transform(jax.random.PRNGKey(seed), batch, ac32)
+        out16 = A.train_transform(jax.random.PRNGKey(seed), batch, ac16)
+        assert out16.dtype == jnp.bfloat16
+        assert out32.dtype == jnp.float32
+        # normalized units: a few /255 of the 0-255 range over std≈0.225·255.
+        # Threshold ops (solarize at 128, posterize bins) legitimately flip
+        # isolated pixels whose value rounds across the threshold in bf16 —
+        # bound the bulk of the distribution, not the max.
+        diff = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+        assert np.quantile(diff, 0.999) < 0.08, np.quantile(diff, 0.999)
+        assert (diff > 0.2).mean() < 1e-3, (diff > 0.2).mean()
+
+
 # ---------------------------------------------------------------------------
 # Mixup / CutMix
 # ---------------------------------------------------------------------------

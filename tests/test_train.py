@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from deltakd_tpu.configs import TrainConfig
@@ -66,6 +67,68 @@ def test_cosine_schedule_matches_timm_formula():
                                1e-5 + 0.5 * (5e-4 - 1e-5), rtol=1e-6)
     # cooldown past one cycle
     np.testing.assert_allclose(float(sched(310)), 1e-5, rtol=1e-6)
+
+
+def test_fused_adamw_matches_optax_chain():
+    """The flat-vector fused update (production path on non-TP meshes) must
+    be numerically identical to optax.chain(clip_by_global_norm,
+    adamw(mask=wd_mask)) — same moments, same bias correction, same masked
+    decay, same clip factor — over a multi-step trajectory."""
+    from deltakd_tpu.train.optim import fused_clipped_adamw, make_schedule
+
+    cfg = TrainConfig(lr=3e-3, warmup_lr=1e-6, min_lr=1e-5, warmup_epochs=1,
+                      epochs=10, weight_decay=0.05, clip_grad=1.0,
+                      opt_eps=1e-8)
+    sched = make_schedule(cfg, steps_per_epoch=3)
+    params = {
+        "student": {
+            "pos_embed": jnp.asarray(np.random.RandomState(0).randn(1, 9, 8),
+                                     jnp.float32),
+            "blocks_0": {
+                "attn": {"qkv": {
+                    "kernel": jnp.asarray(
+                        np.random.RandomState(1).randn(8, 24), jnp.float32),
+                    "bias": jnp.zeros((24,), jnp.float32)}},
+                "norm1": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+            },
+        },
+    }
+    tx_ref = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=0.05, mask=wd_mask(params)))
+    tx_fused = fused_clipped_adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                                   weight_decay=0.05, params=params,
+                                   clip_norm=1.0)
+    p_ref = p_fused = params
+    s_ref, s_fused = tx_ref.init(params), tx_fused.init(params)
+    rng = np.random.RandomState(7)
+    for i in range(6):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape) * 3.0, jnp.float32),
+            p_ref)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        u_fused, s_fused = tx_fused.update(grads, s_fused, p_fused)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_fused = optax.apply_updates(p_fused, u_fused)
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_make_optimizer_gates_fused_on_tp_mesh():
+    _, s_params, _, _ = _models()
+    from deltakd_tpu.train.optim import FusedAdamWState
+
+    cfg_dp = _tiny_cfg()
+    tx = make_optimizer(cfg_dp, {"student": s_params, "aux": {}}, 10)
+    assert isinstance(tx.init({"student": s_params, "aux": {}}),
+                      FusedAdamWState)
+
+    cfg_tp = TrainConfig(**{**cfg_dp.__dict__, "mesh_shape": (1, 2)})
+    tx_tp = make_optimizer(cfg_tp, {"student": s_params, "aux": {}}, 10)
+    assert not isinstance(tx_tp.init({"student": s_params, "aux": {}}),
+                          FusedAdamWState)
 
 
 def test_wd_mask_excludes_norms_tokens_biases():
