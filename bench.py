@@ -103,12 +103,17 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
     n_chips = len(jax.devices())
     per_chip = img_per_sec / n_chips
 
-    e2e_rate = None
+    e2e_rate = e2e_tf_rate = None
     if e2e:
         try:
             e2e_rate = e2e_images_per_sec(step, state, t_params, key)
         except Exception as exc:  # the headline must survive a broken host path
             print(f"[bench] e2e loader benchmark failed: {exc}")
+        try:
+            e2e_tf_rate = e2e_images_per_sec(step, state, t_params, key,
+                                             loader_kind="tfdata")
+        except Exception as exc:
+            print(f"[bench] e2e tfdata benchmark failed: {exc}")
 
     gflops_per_img = kd_step_gflops_per_image()
     tflops = per_chip * gflops_per_img / 1e3
@@ -118,9 +123,13 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / A100_DDP_ESTIMATE_IMG_PER_SEC, 3),
-        # loader-driven number: real FolderSource->Loader path (JPEG decode,
-        # host batching, H2D) at the recipe batch 256, synthetic image files
+        # loader-driven numbers: real FolderSource JPEG decode + host batching
+        # + H2D at the recipe batch 256, synthetic image files, on this host's
+        # single shared CPU core — pil = thread-pool PIL decode, tfdata = the
+        # engineered tf.data C++ pipeline (--data-loader tfdata)
         "e2e_loader_img_per_sec": None if e2e_rate is None else round(e2e_rate, 1),
+        "e2e_tfdata_img_per_sec": (None if e2e_tf_rate is None
+                                   else round(e2e_tf_rate, 1)),
         "model_tflops_per_sec": round(tflops, 1),
         "mfu": None if peak is None else round(tflops / peak, 3),
     }))
@@ -175,10 +184,11 @@ def _synthetic_imagefolder(root: str, classes: int = 64,
 
 
 def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
-                       max_steps: int = 10) -> float:
-    """The VERDICT-honest number: drive the real FolderSource -> Loader path
-    (PIL thread-pool decode, host batching, H2D transfer) at the recipe batch
-    256 and time full steps including input."""
+                       max_steps: int = 10, loader_kind: str = "pil") -> float:
+    """The VERDICT-honest number: drive a real FolderSource loader path
+    (JPEG decode, host batching, H2D transfer) at the recipe batch 256 and
+    time full steps including input. loader_kind 'pil' is the default
+    thread-pool decoder; 'tfdata' is the engineered tf.data C++ pipeline."""
     import tempfile
 
     from deltakd_tpu.data.pipeline import Loader
@@ -187,8 +197,15 @@ def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
     root = _synthetic_imagefolder(
         os.path.join(tempfile.gettempdir(), "deltakd_bench_imagefolder"))
     source = FolderSource(root, raw_size=256, num_workers=16)
-    loader = Loader(source, batch_size=batch_size, is_train=True)
+    if loader_kind == "tfdata":
+        from deltakd_tpu.data.tfdata import TFDataLoader
+        loader = TFDataLoader(source, batch_size=batch_size, is_train=True)
+    else:
+        loader = Loader(source, batch_size=batch_size, is_train=True)
     epoch = jnp.asarray(0, jnp.int32)
+    # the jitted step donates its state argument — copy so the caller's state
+    # survives this run (main() calls this twice, pil then tfdata)
+    state = jax.tree.map(jnp.copy, state)
 
     # one warmup step to compile at this batch size
     it = loader.epoch(0)
