@@ -43,7 +43,8 @@ from deltakd_tpu.obs import (MetricLogger, WandbRun, count_params,
                              model_gflops, setup_logger)
 from deltakd_tpu.parallel.mesh import (batch_sharding, is_main_process, make_mesh,
                                        param_shardings, state_shardings)
-from deltakd_tpu.train.optim import make_optimizer
+from deltakd_tpu.train.optim import (PlateauController, get_lr_scale,
+                                     make_optimizer, set_lr_scale)
 from deltakd_tpu.train.state import TrainState
 from deltakd_tpu.train.step import build_eval_step, build_train_step
 
@@ -69,7 +70,15 @@ def train_one_epoch(state, train_step, teacher_params, loader: Loader,
     if cfg.steps_per_epoch:
         steps = min(steps, cfg.steps_per_epoch)
     epoch_arr = jnp.asarray(epoch, jnp.int32)
-    collected = []
+    # Metric hygiene (round-2 verdict W5): the step's metric dict stays on
+    # device. Each step folds into ONE stacked running-sum vector (O(1) device
+    # memory regardless of epoch length), and the logger fetches ONE small
+    # array per log interval — never float()-per-metric, which costs a ~40 ms
+    # device round-trip each on tunneled backends.
+    names: Optional[list] = None
+    stacker = None
+    sums = None
+    n_steps = 0
 
     batches = itertools.islice(loader.epoch(epoch), steps)
     for images, labels, _ in metric_logger.log_every(
@@ -79,16 +88,25 @@ def train_one_epoch(state, train_step, teacher_params, loader: Loader,
             labels = _put_batch(labels, batch_shard)
         state, metrics = train_step(state, teacher_params, images, labels,
                                     base_key, epoch_arr)
-        collected.append(metrics)
-        if len(collected) % cfg.log_every == 0:
-            metric_logger.update(**{k: float(v) for k, v in metrics.items()})
+        if names is None:
+            names = sorted(metrics)
+            keys = list(names)
+            stacker = jax.jit(
+                lambda m: jnp.stack([jnp.asarray(m[k], jnp.float32)
+                                     for k in keys]))
+        vec = stacker(metrics)
+        sums = vec if sums is None else sums + vec
+        n_steps += 1
+        if n_steps % cfg.log_every == 0:
+            vals = np.asarray(jax.device_get(vec))  # one transfer
+            metric_logger.update(**{k: float(v)
+                                    for k, v in zip(names, vals)})
 
-    # epoch averages from every step (fetched once, off the critical path)
-    host = jax.device_get(collected) if collected else []
+    # epoch averages from the running sum (one transfer, off the hot path)
     avgs: Dict[str, float] = {}
-    if host:
-        for k in host[0]:
-            avgs[k] = float(np.mean([m[k] for m in host]))
+    if n_steps:
+        vals = np.asarray(jax.device_get(sums)) / n_steps
+        avgs = {k: float(v) for k, v in zip(names, vals)}
     return state, avgs
 
 
@@ -247,6 +265,17 @@ def run(cfg) -> Dict[str, float]:
     teacher_params = jax.device_put(teacher.params,
                                     param_shardings(mesh, teacher.params))
 
+    # --sched plateau: val-metric-driven LR decay lives outside the jitted
+    # step as a multiplier in the optimizer state (timm PlateauLRScheduler
+    # semantics, reference tools/train.py:54-93). Resume keeps the decayed LR
+    # because the scale rides in the checkpointed opt state.
+    plateau = None
+    if cfg.sched == "plateau":
+        plateau = PlateauController(
+            decay_rate=cfg.decay_rate, patience=cfg.patience_epochs,
+            cooldown=cfg.cooldown_epochs, min_lr=cfg.min_lr, base_lr=cfg.lr,
+            initial_scale=get_lr_scale(state.opt_state) or 1.0)
+
     os.makedirs(cfg.save_dir, exist_ok=True)
     val_metrics: Dict[str, float] = {}
     for epoch in range(start_epoch, cfg.epochs):
@@ -267,6 +296,10 @@ def run(cfg) -> Dict[str, float]:
                     f"- Val: {val_metrics}")
 
         current = val_metrics.get("val_acc1", 0.0)
+        if plateau is not None:
+            scale = plateau.epoch_end(current)
+            state = state.replace(opt_state=set_lr_scale(state.opt_state, scale))
+            logger.info(f"plateau scheduler: lr scale {scale:.6f}")
         is_best = current > best_val_acc
         best_val_acc = max(best_val_acc, current)
         if is_main:

@@ -85,22 +85,122 @@ def step_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
     return lr_at_epoch
 
 
+def plateau_epoch_schedule(cfg) -> Callable[[jax.Array], jax.Array]:
+    """timm PlateauLRScheduler's in-step part: linear warmup then base lr.
+
+    The val-metric-driven decay cannot live in a step-count schedule (it
+    depends on host-side validation results), so it is factored into a
+    multiplicative ``lr_scale`` held in the optimizer state
+    (:class:`LRScaleState`) and driven per epoch by
+    :class:`PlateauController` (reference create_scheduler surface,
+    tools/train.py:54-93)."""
+    base, warm0, warmup_t = cfg.lr, cfg.warmup_lr, cfg.warmup_epochs
+
+    def lr_at_epoch(epoch):
+        epoch = jnp.asarray(epoch, jnp.float32)
+        warm = warm0 + epoch * (base - warm0) / max(warmup_t, 1)
+        return jnp.where(epoch < warmup_t, warm, base)
+
+    return lr_at_epoch
+
+
 def make_schedule(cfg, steps_per_epoch: int) -> Callable[[jax.Array], jax.Array]:
     if cfg.sched == "cosine":
         per_epoch = cosine_epoch_schedule(cfg)
     elif cfg.sched == "step":
         per_epoch = step_epoch_schedule(cfg)
+    elif cfg.sched == "plateau":
+        per_epoch = plateau_epoch_schedule(cfg)
     else:
-        # plateau needs val-metric feedback inside the schedule — reject
-        # loudly rather than silently train a different recipe
         raise NotImplementedError(
-            f"scheduler '{cfg.sched}' not implemented (cosine and step are; "
-            f"reference default is cosine, train.py:69-70)")
+            f"scheduler '{cfg.sched}' not implemented (cosine, step and "
+            f"plateau are; reference default is cosine, train.py:69-70)")
 
     def sched(step):
         return per_epoch(jnp.asarray(step) // steps_per_epoch)
 
     return sched
+
+
+class LRScaleState(NamedTuple):
+    """Wrapper opt-state carrying a host-driven LR multiplier.
+
+    Scaling the final update is exactly scaling the LR for every optimizer
+    here: AdamW's update is ``-lr·(adam_dir + wd·p)`` (both fused and optax
+    paths), so one multiplier covers the decoupled weight decay too."""
+    scale: jax.Array
+    inner: Any
+
+
+def with_lr_scale(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    def init_fn(params):
+        return LRScaleState(scale=jnp.ones((), jnp.float32),
+                            inner=inner.init(params))
+
+    def update_fn(grads, state, params=None):
+        upd, new_inner = inner.update(grads, state.inner, params)
+        upd = jax.tree.map(lambda u: u * state.scale, upd)
+        return upd, LRScaleState(scale=state.scale, inner=new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _is_lr_scale(node) -> bool:
+    return isinstance(node, LRScaleState)
+
+
+def set_lr_scale(opt_state, value: float):
+    """Return ``opt_state`` with every LRScaleState's multiplier replaced."""
+    return jax.tree.map(
+        lambda s: s._replace(scale=jnp.asarray(value, jnp.float32)),
+        opt_state, is_leaf=_is_lr_scale)
+
+
+def get_lr_scale(opt_state) -> Optional[float]:
+    found = []
+    jax.tree.map(lambda s: found.append(float(jax.device_get(s.scale))),
+                 opt_state, is_leaf=_is_lr_scale)
+    return found[0] if found else None
+
+
+class PlateauController:
+    """Host-side torch ``ReduceLROnPlateau`` semantics (what timm's
+    PlateauLRScheduler wraps, reference tools/train.py:54-93): when the val
+    metric fails to improve for ``patience`` epochs, multiply the LR by
+    ``decay_rate``, then hold off for ``cooldown`` epochs. Relative threshold
+    1e-4, mode max (the reference's eval metric is top-1 accuracy).
+
+    Produces a scalar ``lr_scale`` to install with :func:`set_lr_scale`; the
+    scale rides in the (checkpointed) optimizer state, so a resumed run keeps
+    its decayed LR — only the patience/cooldown counters restart."""
+
+    def __init__(self, *, decay_rate: float, patience: int, cooldown: int,
+                 min_lr: float, base_lr: float, threshold: float = 1e-4,
+                 initial_scale: float = 1.0):
+        self.decay_rate = decay_rate
+        self.patience = patience
+        self.cooldown = cooldown
+        self.min_scale = min_lr / max(base_lr, 1e-12)
+        self.threshold = threshold
+        self.scale = initial_scale
+        self.best: Optional[float] = None
+        self.num_bad = 0
+        self.cooldown_left = 0
+
+    def epoch_end(self, metric: float) -> float:
+        if self.best is None or metric > self.best * (1.0 + self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.decay_rate, self.min_scale)
+            self.cooldown_left = self.cooldown
+            self.num_bad = 0
+        return self.scale
 
 
 class FusedAdamWState(NamedTuple):
@@ -175,10 +275,11 @@ def make_optimizer(cfg, params, steps_per_epoch: int,
         ms = getattr(cfg, "mesh_shape", None)
         fused = not (ms is not None and len(ms) > 1 and ms[1] > 1)
     if cfg.opt == "adamw" and fused:
-        return fused_clipped_adamw(
+        tx = fused_clipped_adamw(
             sched, b1=betas[0], b2=betas[1], eps=cfg.opt_eps,
             weight_decay=cfg.weight_decay, params=params,
             clip_norm=cfg.clip_grad)
+        return with_lr_scale(tx) if cfg.sched == "plateau" else tx
     chain = []
     if cfg.clip_grad is not None:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
@@ -195,4 +296,7 @@ def make_optimizer(cfg, params, steps_per_epoch: int,
                                 eps=cfg.opt_eps))
     else:
         raise NotImplementedError(f"optimizer '{cfg.opt}' not implemented")
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.sched == "plateau":
+        tx = with_lr_scale(tx)
+    return tx

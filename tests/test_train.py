@@ -355,3 +355,60 @@ def test_step_schedule_matches_timm_formula():
     np.testing.assert_allclose(float(sched(29)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(sched(30)), 1e-4, rtol=1e-6)
     np.testing.assert_allclose(float(sched(75)), 1e-5, rtol=1e-6)
+
+
+def test_plateau_controller_matches_torch_reduce_on_plateau():
+    """PlateauController is a golden re-derivation of what timm's
+    PlateauLRScheduler wraps (torch ReduceLROnPlateau, mode max, rel
+    threshold 1e-4) — drive both with the same noisy metric trajectory and
+    require identical LR at every epoch (reference create_scheduler surface,
+    tools/train.py:54-93)."""
+    import torch
+
+    from deltakd_tpu.train.optim import PlateauController
+
+    base_lr, decay, patience, cooldown, min_lr = 1e-3, 0.1, 3, 2, 1e-6
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=decay, patience=patience, cooldown=cooldown,
+        threshold=1e-4, threshold_mode="rel", min_lr=min_lr)
+    ours = PlateauController(decay_rate=decay, patience=patience,
+                             cooldown=cooldown, min_lr=min_lr, base_lr=base_lr)
+
+    rng = np.random.RandomState(0)
+    # plateaus interleaved with improvements, enough epochs to hit min_lr
+    metric, metrics = 10.0, []
+    for e in range(60):
+        if e % 13 < 4:
+            metric += rng.uniform(0.1, 0.5)  # improving stretch
+        metrics.append(metric)
+    for e, m in enumerate(metrics):
+        ref.step(m)
+        scale = ours.epoch_end(m)
+        np.testing.assert_allclose(base_lr * scale, opt.param_groups[0]["lr"],
+                                   rtol=1e-9, err_msg=f"epoch {e}")
+    assert ours.scale < 1.0  # the trajectory actually decayed
+
+
+def test_plateau_optimizer_scale_changes_update_size():
+    """--sched plateau: make_optimizer wraps the tx with LRScaleState, and
+    set_lr_scale shrinks the applied update by exactly that factor."""
+    from deltakd_tpu.train.optim import get_lr_scale, set_lr_scale
+
+    cfg = TrainConfig(lr=1e-3, warmup_lr=1e-3, warmup_epochs=0,
+                      sched="plateau", opt="adamw", clip_grad=None,
+                      weight_decay=0.0, epochs=10)
+    params = {"student": {"w": jnp.ones((4, 4))}, "aux": {}}
+    grads = {"student": {"w": jnp.full((4, 4), 0.5)}, "aux": {}}
+    tx = make_optimizer(cfg, params, steps_per_epoch=10)
+    st = tx.init(params)
+    assert get_lr_scale(st) == 1.0
+
+    upd_full, _ = tx.update(grads, st, params)
+    st_scaled = set_lr_scale(st, 0.1)
+    assert get_lr_scale(st_scaled) == pytest.approx(0.1)
+    upd_scaled, _ = tx.update(grads, st_scaled, params)
+    np.testing.assert_allclose(
+        np.asarray(upd_scaled["student"]["w"]),
+        0.1 * np.asarray(upd_full["student"]["w"]), rtol=1e-6)
