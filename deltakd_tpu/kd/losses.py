@@ -152,6 +152,19 @@ def _masked_generation(aux: Dict[str, Any], x_keep: jax.Array,
     return grid_to_tokens(x)
 
 
+def _canon_sign(v: jax.Array) -> jax.Array:
+    """Flip eigenvector columns [..., D, k] to a deterministic sign: the
+    largest-|.| entry of each column is made positive. LAPACK eigh / gesdd /
+    the subspace solver each leave column signs arbitrary; canonicalizing
+    makes the LRKD spectral targets identical across solvers and platforms
+    (and lets trajectory tests pin them against torch SVD). Matmul-free:
+    a max-compare one-hot instead of a gather (TPU gathers are slow here)."""
+    mag = jnp.abs(v)
+    is_max = (mag == jnp.max(mag, axis=-2, keepdims=True)).astype(v.dtype)
+    s = jnp.sum(jnp.sign(v) * is_max, axis=-2, keepdims=True)
+    return v * jnp.where(s == 0, 1.0, jnp.sign(s))
+
+
 def topk_eigvecs_subspace(gram: jax.Array, rank: int, *, iters: int = 12,
                           oversample: int = 8) -> jax.Array:
     """Top-k eigenvectors of SPD ``gram`` [..., D, D] via randomized subspace
@@ -185,7 +198,7 @@ def topk_eigvecs_subspace(gram: jax.Array, rank: int, *, iters: int = 12,
     m = jnp.einsum("...dp,...de,...eq->...pq", v, gram, v)
     w, u = jnp.linalg.eigh(m)
     v = jnp.einsum("...dp,...pq->...dq", v, u)
-    return v[..., ::-1][..., :rank]
+    return _canon_sign(v[..., ::-1][..., :rank])
 
 
 def rank_k_targets(t_feat_2d: jax.Array, rank: int,
@@ -206,7 +219,7 @@ def rank_k_targets(t_feat_2d: jax.Array, rank: int,
         v_k = topk_eigvecs_subspace(gram, rank)
     else:
         _, vecs = jnp.linalg.eigh(gram)      # ascending eigenvalues
-        v_k = vecs[:, ::-1][:, :rank]        # top-k right singular vectors
+        v_k = _canon_sign(vecs[:, ::-1][:, :rank])  # top-k right sing. vectors
     return a @ v_k                           # [M, rank] == U_k diag(S_k)
 
 
@@ -277,7 +290,7 @@ def lrkd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Arra
         v_k = topk_eigvecs_subspace(gram, kd.lrkd_rank)
     else:
         _, vecs = jnp.linalg.eigh(gram)                      # batched, exact
-        v_k = vecs[:, :, ::-1][:, :, : kd.lrkd_rank]         # top-k per layer
+        v_k = _canon_sign(vecs[:, :, ::-1][:, :, : kd.lrkd_rank])
     targets = jnp.einsum("lmd,ldk->lmk", t2, v_k)            # [3, M, rank]
 
     losses = []

@@ -70,13 +70,14 @@ def _data(seed=0):
     return images, labels
 
 
-def _make_pair(distilled: bool, seed: int, dim: int = S_DIM):
+def _make_pair(distilled: bool, seed: int, dim: int = S_DIM,
+               depth: int = DEPTH):
     """(torch model, jax module, synced flax params) with identical weights."""
     torch.manual_seed(seed)
-    t_model = TR.TorchViT(img_size=IMG, patch=PATCH, dim=dim, depth=DEPTH,
+    t_model = TR.TorchViT(img_size=IMG, patch=PATCH, dim=dim, depth=depth,
                           num_heads=HEADS, num_classes=C, distilled=distilled)
     j_module = VisionTransformer(
-        ViTConfig(img_size=IMG, patch_size=PATCH, embed_dim=dim, depth=DEPTH,
+        ViTConfig(img_size=IMG, patch_size=PATCH, embed_dim=dim, depth=depth,
                   num_heads=HEADS, num_classes=C, distilled=distilled),
         dtype=jnp.float32)
     init = j_module.init({"params": jax.random.PRNGKey(seed)},
@@ -136,7 +137,7 @@ def _run_torch(t_student, t_teacher, aux_modules, loss_fn, images, labels):
 
 
 def _run_jax(j_student, j_teacher, params, t_params, aux, kd, jax_loss,
-             images, labels):
+             images, labels, epoch_offset: int = 0):
     cfg = TrainConfig(
         distillation_type=kd.distillation_type, lr=HP["lr"],
         warmup_lr=HP["warmup_lr"], min_lr=HP["min_lr"],
@@ -149,9 +150,9 @@ def _run_jax(j_student, j_teacher, params, t_params, aux, kd, jax_loss,
                               ema_decay=EMA_DECAY)
 
     @jax.jit
-    def step(state, x, y, k_loss):
+    def step(state, x, y, k_loss, ep):
         def loss_of(p):
-            return jax_loss(p, x, y, k_loss)
+            return jax_loss(p, x, y, k_loss, ep)
         loss, grads = jax.value_and_grad(loss_of)(state.params)
         return state.apply_gradients(grads=grads, tx=tx,
                                      ema_decay=EMA_DECAY), loss
@@ -161,7 +162,8 @@ def _run_jax(j_student, j_teacher, params, t_params, aux, kd, jax_loss,
         b = s % NB
         state, loss = step(state, jnp.asarray(images[b]),
                            jnp.asarray(labels[b].astype(np.int32)),
-                           jax.random.fold_in(jax.random.PRNGKey(99), s))
+                           jax.random.fold_in(jax.random.PRNGKey(99), s),
+                           jnp.asarray(epoch_offset + s // SPE, jnp.int32))
         losses.append(float(loss))
     return np.array(losses), state
 
@@ -197,7 +199,7 @@ def test_soft_kd_dynamics_match_torch_200_steps():
         soft = TR.torch_soft_kd(dist_logits, t_logits, tau)
         return (1 - alpha) * base + alpha * soft
 
-    def jax_loss(p, x, y, k):
+    def jax_loss(p, x, y, k, ep):
         out = j_student.apply({"params": p["student"]}, x, train=True,
                               distilled_training=True)
         t_out = j_teacher.apply({"params": t_params}, x, train=False)
@@ -251,7 +253,7 @@ def test_mgd_dynamics_match_torch_200_steps():
                            kd.mgd_mask_ratio, kd.mgd_alpha)
         return base + mgd
 
-    def jax_loss(p, x, y, k):
+    def jax_loss(p, x, y, k, ep):
         out = j_student.apply({"params": p["student"]}, x, train=True)
         t_out = j_teacher.apply({"params": t_params}, x, train=False)
         loss, _ = total_loss(kd, student_logits=out.logits,
@@ -267,6 +269,206 @@ def test_mgd_dynamics_match_torch_200_steps():
         images, labels)
     jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
                                  aux, kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_lrkd_dynamics_match_torch_200_steps():
+    """LRKD: gradients flow through the align heads toward spectral targets
+    computed by our Gram-eigh solver vs torch full SVD (reference
+    model/loss.py:314-330). Both sides canonicalize the eigenvector column
+    signs (largest-|.| entry positive, kd/losses.py:_canon_sign), which pins
+    the otherwise-arbitrary LAPACK sign and makes trajectories comparable."""
+    alpha, rank = 0.5, 8
+    la, lb, lg = 0.2, 0.15, 0.1
+    images, labels = _data(7)
+    t_student, j_student, s_params = _make_pair(False, seed=8)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=9, dim=T_DIM)
+    aux = init_aux_params(jax.random.PRNGKey(10), "lrkd", S_DIM, T_DIM,
+                          lrkd_rank=rank)
+    kd = KDSettings(distillation_type="lrkd", alpha=alpha, lrkd_rank=rank,
+                    lrkd_alpha=la, lrkd_beta=lb, lrkd_gamma=lg, smoothing=0.1,
+                    mixup_active=False, student_prefix=1, teacher_prefix=2)
+    aligns = [TR.np_to_torch_linear(p) for p in aux["align"]]
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        distill = 0.0
+        for w, a, i in zip((la, lb, lg), aligns, (0, 1, -1)):
+            t2 = t_feats[i][:, 2:].detach().reshape(-1, T_DIM)
+            _, _, Vh = torch.linalg.svd(t2, full_matrices=False)
+            V = Vh.T[:, :rank]
+            sgn = torch.sign(V[V.abs().argmax(dim=0), torch.arange(rank)])
+            target = (t2 @ (V * sgn)).detach()
+            s2 = a(s_feats[i][:, 1:]).reshape(-1, rank)
+            distill = distill + w * F.mse_loss(target, s2)
+        return (1 - alpha) * base + alpha * distill
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(t_student, t_teacher, aligns,
+                                            torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_diffkd_dynamics_match_torch_200_steps():
+    """DiffKD: the denoiser network co-trains with the student and align
+    heads (reference model/loss.py:105-155) — timesteps, injected noise and
+    denoiser dropout masks are generated from the same JAX keys on both
+    sides, so the trajectories must track pointwise."""
+    alpha = 0.5
+    images, labels = _data(11)
+    t_student, j_student, s_params = _make_pair(False, seed=12)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=13, dim=T_DIM)
+    aux = init_aux_params(jax.random.PRNGKey(14), "diffkd", S_DIM, T_DIM)
+    kd = KDSettings(distillation_type="diffkd", alpha=alpha, smoothing=0.1,
+                    mixup_active=False, student_prefix=1, teacher_prefix=2)
+    aligns = [TR.np_to_torch_linear(p) for p in aux["align"]]
+    net1 = TR.np_to_torch_linear(aux["denoise"]["net1"])
+    net2 = TR.np_to_torch_linear(aux["denoise"]["net2"])
+    time1 = TR.np_to_torch_linear(aux["denoise"]["time1"])
+    time2 = TR.np_to_torch_linear(aux["denoise"]["time2"])
+    T_STEPS = 8
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        # identical randomness: mirror diffkd_loss's key-splitting exactly
+        key = jax.random.fold_in(jax.random.PRNGKey(99), s)
+        k_t, k_rest = jax.random.split(key)
+        t_step = torch.from_numpy(np.asarray(
+            jax.random.randint(k_t, (B,), 0, T_STEPS)).astype(np.int64))
+        sigma_max = torch.where(t_step < T_STEPS // 2, torch.tensor(0.3),
+                                torch.tensor(0.7))
+        sigma_t = (1 - torch.cos(math.pi * t_step.float() / T_STEPS)) * sigma_max
+        feat = 0.0
+        for i, (a, li) in enumerate(zip(aligns, (0, 1, -1))):
+            k_noise, k_drop = jax.random.split(
+                jax.random.fold_in(k_rest, i))
+            t_feat = t_feats[li][:, 2:].detach()
+            t_n = t_feat / t_feat.norm(dim=-1, keepdim=True)
+            s_al = a(s_feats[li][:, 1:])
+            s_n = s_al / s_al.norm(dim=-1, keepdim=True)
+            eps = torch.from_numpy(np.asarray(
+                jax.random.normal(k_noise, tuple(t_n.shape)), np.float32))
+            noise = eps * sigma_t.view(-1, 1, 1)
+            noisy = t_n + noise
+            t_emb = time2(F.gelu(time1(t_step.float().view(-1, 1))))
+            h = net2(F.gelu(net1(noisy + t_emb.unsqueeze(1))))
+            keep = torch.from_numpy(np.asarray(
+                jax.random.bernoulli(k_drop, 0.9, tuple(h.shape))))
+            pred = torch.where(keep, h / 0.9, torch.zeros(()))
+            feat = feat + F.mse_loss(pred, noise)
+            w_t = 1.0 / (sigma_t ** 2 + 1e-8)
+            feat = feat + w_t.mean() * F.mse_loss(s_n, t_n)
+        return (1 - alpha) * base + alpha * (feat / 3 * 5e-5)
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(
+        t_student, t_teacher, [net1, net2, time1, time2] + aligns,
+        torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_curkd_dynamics_cross_phase_boundary():
+    """CurKD crossing the epoch-100 curriculum boundary (reference
+    model/loss.py:362-420): curriculum epochs 95→144, so steps 0-19 train the
+    early-phase heads and steps 20+ the mid-phase heads, inside ONE compiled
+    step via lax.switch. Torch adds a 0-weighted sum over every aux param so
+    inactive heads get zero grads (not None) — matching optax, where AdamW's
+    decoupled weight decay applies to all co-trained aux heads every step."""
+    EPOCH_OFFSET, DEPTH_C = 95, 7  # mid phase needs blocks 3-6
+    images, labels = _data(15)
+    t_student, j_student, s_params = _make_pair(False, seed=16, depth=DEPTH_C)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=17, dim=T_DIM,
+                                                depth=DEPTH_C)
+    aux = init_aux_params(jax.random.PRNGKey(18), "curkd", S_DIM, T_DIM)
+    kd = KDSettings(distillation_type="curkd", smoothing=0.1,
+                    mixup_active=False, student_prefix=1, teacher_prefix=2)
+    early = [TR.np_to_torch_linear(p) for p in aux["curkd_align_early"]]
+    mid = [TR.np_to_torch_linear(p) for p in aux["curkd_align_mid"]]
+    last = TR.np_to_torch_linear(aux["curkd_align_last"])
+    gen1 = TR.np_to_torch_conv3x3(aux["generation"]["conv1"])
+    gen2 = TR.np_to_torch_conv3x3(aux["generation"]["conv2"])
+    holder = torch.nn.Module()
+    holder.mask_token = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(aux["mask_token"], np.float32)))
+    aux_modules = early + mid + [last, gen1, gen2, holder]
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        epoch = EPOCH_OFFSET + s // SPE
+        if epoch < 100:
+            distill = TR.torch_curkd_early(s_feats, t_feats, early,
+                                           [0, 1, 2], 3)
+        elif epoch < 151:
+            distill = TR.torch_curkd_early(s_feats, t_feats, mid,
+                                           [3, 4, 5, 6], 4)
+        else:  # pragma: no cover - offset keeps the run below epoch 151
+            noise = torch.from_numpy(np.asarray(jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(99), s),
+                (B, (IMG // PATCH) ** 2))))
+            distill = TR.torch_curkd_last(s_feats, t_feats, last,
+                                          holder.mask_token, gen1, gen2, noise)
+        # zero (not None) grads for inactive phases' heads — see docstring
+        zero = sum(0.0 * p.sum() for m in aux_modules
+                   for p in m.parameters())
+        return base + distill + zero
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k, epoch=ep)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(t_student, t_teacher, aux_modules,
+                                            torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels,
+                                 epoch_offset=EPOCH_OFFSET)
+    # the loss must actually change regime at the boundary (step 20)
+    assert not np.allclose(torch_losses[19], torch_losses[20], rtol=1e-3)
     _assert_tracks(torch_losses, jax_losses,
                    _global_norm_torch(t_all), _global_norm_jax(state.params),
                    _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
