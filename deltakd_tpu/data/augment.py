@@ -577,7 +577,8 @@ def _apply_on_subset(op_fn, imgs: jax.Array, sel: jax.Array, k: int) -> jax.Arra
     return imgs.at[idx].set(out_sub)
 
 
-def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
+def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill, *,
+                        subset_ok: bool = True):
     """Run each selected pixel op batched, all from the SAME input tensor.
 
     One layer selects exactly one op per image, so the per-op masks are
@@ -597,7 +598,7 @@ def _apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill):
     for i, op in _PIXEL_OPS.items():
         sel = apply & (op_idx == i)
         k_i = jax.random.fold_in(key, i)
-        if i in _HEAVY_PIXEL_OPS:
+        if i in _HEAVY_PIXEL_OPS and subset_ok:
             out = _apply_on_subset(
                 lambda sub, idx, op=op, k_i=k_i: op(
                     sub, jnp.take(m, idx, axis=0), k_i, fill),
@@ -751,6 +752,10 @@ class AugmentConfig:
     pixel_bf16: bool = False           # run post-resample pixel ops in bf16
     # (halves the HBM traffic of the full-resolution elementwise passes;
     # ±1/255 pixel tolerance — see test_pixel_bf16_matches_fp32)
+    subset_ops: bool = True            # gather heavy RA ops onto a batch subset
+    # (data-dependent batch-dim argsort/gather — on a multi-device data mesh
+    # GSPMD would all-gather the image batch per heavy op, so from_config
+    # turns this off there and the heavy ops run batched via the select chain)
 
     @classmethod
     def from_config(cls, cfg) -> "AugmentConfig":
@@ -766,7 +771,20 @@ class AugmentConfig:
             three_augment=cfg.ThreeAugment, src=cfg.src,
             small_input_crop=cfg.input_size <= 32,
             eval_crop_ratio=cfg.eval_crop_ratio,
-            pixel_bf16=getattr(cfg, "aug_pixel_bf16", False))
+            pixel_bf16=getattr(cfg, "aug_pixel_bf16", False),
+            subset_ops=_mesh_is_single_data_shard(cfg))
+
+
+def _mesh_is_single_data_shard(cfg) -> bool:
+    """True when the batch is not partitioned over devices (the subset
+    gather then stays local). cfg.mesh_shape None means 'all devices on
+    data', so any multi-device process must take the partition-safe path."""
+    import jax
+
+    ms = getattr(cfg, "mesh_shape", None)
+    if ms is None:
+        return len(jax.devices()) == 1
+    return int(ms[0]) == 1
 
 
 def _normalize(img: jax.Array, ac: AugmentConfig) -> jax.Array:
@@ -868,7 +886,8 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             imgs = color_jitter_batch(k_cj, imgs, ac.color_jitter)
     else:
         for op_idx, apply, m, k_px in ra_layers:
-            imgs = _apply_ra_pixel_ops(imgs, op_idx, apply, m, k_px, fill)
+            imgs = _apply_ra_pixel_ops(imgs, op_idx, apply, m, k_px, fill,
+                                       subset_ok=ac.subset_ops)
         if ac.rand_augment is None and ac.color_jitter > 0:
             imgs = color_jitter_batch(k_aug, imgs, ac.color_jitter)
 

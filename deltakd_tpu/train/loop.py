@@ -302,20 +302,18 @@ def run(cfg) -> Dict[str, float]:
             logger.info(f"plateau scheduler: lr scale {scale:.6f}")
         is_best = current > best_val_acc
         best_val_acc = max(best_val_acc, current)
-        if is_main:
-            # On-device copy (cheap) instead of device_get (~1-2 s pull):
-            # donation-safe for the async orbax save, which fetches and
-            # commits in the background while the next epoch trains.
-            # Multi-host keeps the host pull: this save is proc-0-gated, so
-            # device arrays (collective save path) would hang other hosts.
-            if jax.process_count() > 1:
-                snapshot = jax.device_get(state)
-            else:
-                snapshot = jax.tree.map(jnp.copy, state)
-            save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
-                            snapshot, epoch=epoch + 1,
-                            best_acc=best_val_acc, is_best=is_best,
-                            block=False)
+        # EVERY process enters the orbax save (it is a collective): a
+        # proc-0-only device_get of TP/multi-host-sharded state would fail
+        # on non-addressable shards (round-2 verdict W7) — orbax writes each
+        # host's local shards and proc 0 alone handles meta/best/cleanup.
+        # The on-device copy (cheap, vs a ~1-2 s device_get pull) makes the
+        # snapshot donation-safe for the async save, which fetches and
+        # commits in the background while the next epoch trains.
+        snapshot = jax.tree.map(jnp.copy, state)
+        save_checkpoint(os.path.join(cfg.save_dir, "checkpoint"),
+                        snapshot, epoch=epoch + 1,
+                        best_acc=best_val_acc, is_best=is_best,
+                        block=False)
         if _PREEMPTED:
             wait_for_checkpoints()
             logger.info(f"SIGTERM received — checkpoint saved at epoch "

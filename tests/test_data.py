@@ -461,3 +461,42 @@ def test_native_layout_falls_back_to_imagefolder(tmp_path):
             _save_img(d / "x.jpg", len(split))
     src = build_source(_cfg_for(tmp_path, "flowers"), is_train=True)
     assert len(src) == 2 and src.num_classes == 2
+
+
+def test_heavy_pixel_ops_subset_matches_select_chain():
+    """The heavy RA ops (equalize/sharpness) produce identical images whether
+    run on the gathered batch subset (single-data-shard fast path) or batched
+    through the select chain (the partition-safe path a multi-device data
+    mesh must take — advisor round-2: the subset gather's data-dependent
+    batch-dim argsort would all-gather the image batch under GSPMD)."""
+    key = jax.random.PRNGKey(3)
+    B = 16
+    imgs = jnp.asarray(
+        np.stack([_rand_img(i) for i in range(B)]), jnp.float32)
+    rng = np.random.RandomState(0)
+    # force every image through a heavy op: half equalize (1), half sharpness (10)
+    op_idx = jnp.asarray(rng.permutation([1] * (B // 2) + [10] * (B // 2)))
+    apply = jnp.asarray(rng.rand(B) < 0.75)
+    m = jnp.full((B,), 9.0, jnp.float32)
+    fill = jnp.asarray([124.0, 116.0, 104.0])
+    out_subset = A._apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill,
+                                       subset_ok=True)
+    out_chain = A._apply_ra_pixel_ops(imgs, op_idx, apply, m, key, fill,
+                                      subset_ok=False)
+    np.testing.assert_allclose(np.asarray(out_subset), np.asarray(out_chain),
+                               atol=1e-4)
+
+
+def test_from_config_gates_subset_ops_on_data_sharded_mesh():
+    """AugmentConfig.from_config must turn the subset gather off whenever the
+    batch is partitioned over devices (here: the 8-device CPU test mesh with
+    mesh_shape None → all devices on the data axis), and keep it on when the
+    data axis is 1."""
+    base = dict(dataset="cifar-100", input_size=64, aa="rand-m9-mstd0.5-inc1",
+                color_jitter=0.3, reprob=0.25, ThreeAugment=False, src=False,
+                eval_crop_ratio=0.875)
+    ac = A.AugmentConfig.from_config(type("C", (), dict(base)))
+    assert not ac.subset_ops  # 8 virtual devices, all on data
+    ac_tp = A.AugmentConfig.from_config(
+        type("C", (), dict(base, mesh_shape=(1, 8))))
+    assert ac_tp.subset_ops  # model-only sharding: batch stays whole

@@ -65,8 +65,29 @@ state = {"w": jax.device_put(jnp.arange(6.0),
 save_checkpoint(os.path.join(outdir, "ckpt"), state, epoch=3, best_acc=12.5,
                 is_best=False)
 
+# 4) the FULL run() driver at mesh (2,2): the model axis spans both
+# processes, so the per-epoch best-checkpoint save cannot proc-0-device_get
+# the TP-sharded state (non-addressable shards) — it must take the
+# collective orbax path (train/loop.py run(), round-2 verdict W7).
+from deltakd_tpu.configs import parse_args
+from deltakd_tpu.train.loop import run
+
+cfg = parse_args([
+    "--dataset", "synthetic", "--synthetic-data", "--input-size", "32",
+    "--batch-size", "4", "--epochs", "1", "--steps-per-epoch", "2",
+    "--eval-steps", "1", "--warmup-epochs", "0", "--dtype", "float32",
+    "--prng-impl", "threefry2x32", "--mesh-shape", "2", "2",
+    "--distillation-type", "none", "--allow-random-teacher",
+    "--student-model", "deit_tiny_patch16_224",
+    "--teacher-model", "deit_small_distilled_patch16_224",
+    "--log-file", os.path.join(outdir, "logs", f"mp{proc_id}.log"),
+    "--save-dir", os.path.join(outdir, "run_ckpt")])
+metrics = run(cfg)
+
 with open(os.path.join(outdir, f"res{proc_id}.json"), "w") as f:
-    json.dump({"total": total, "count": sv.count, "sv_total": sv.total}, f)
+    json.dump({"total": total, "count": sv.count, "sv_total": sv.total,
+               "val_loss": metrics["val_loss"],
+               "best_val_acc": metrics["best_val_acc"]}, f)
 """
 
 
@@ -105,3 +126,25 @@ def test_two_process_distributed_batch_meters_checkpoint(tmp_path):
     state, epoch, best = load_checkpoint(str(tmp_path / "ckpt"), target)
     np.testing.assert_allclose(np.asarray(state["w"]), np.arange(6.0))
     assert epoch == 3 and best == 12.5
+
+    # run() under the cross-host model axis: both processes agree on the val
+    # metrics, and the TP-sharded state committed through the collective save
+    assert results[0]["val_loss"] == pytest.approx(results[1]["val_loss"])
+    assert np.isfinite(results[0]["val_loss"])
+    run_ckpt = tmp_path / "run_ckpt" / "checkpoint"
+    assert (run_ckpt / "state-1").is_dir()  # atomic-rename commit completed
+    # Structural check via orbax metadata: a raw single-process restore of a
+    # 2-process-sharded checkpoint cannot reconstruct the saved shardings,
+    # but the tree metadata is device-free.
+    tree = ocp_tree_metadata(str(run_ckpt / "state-1"))
+    assert "student" in tree["state"]["params"]
+    assert "epoch" in tree["meta"]
+    meta = json.load(open(run_ckpt / "meta.json"))
+    assert meta["epoch"] == 1 and meta["format"] == "wrapped-v1"
+
+
+def ocp_tree_metadata(path):
+    import orbax.checkpoint as ocp
+
+    md = ocp.StandardCheckpointer().metadata(path)
+    return getattr(getattr(md, "item_metadata", md), "tree", md)

@@ -65,3 +65,29 @@ def test_xla_bitonic_sort_cpu():
     np.testing.assert_array_equal(np.asarray(bitonic_sort(x, axis=1)),
                                   np.sort(np.asarray(x), axis=1))
 
+
+
+def test_bitonic_sort_diff_values_and_grad_cpu():
+    """sort_tokens_diff forward == np.sort; its re-sort backward routes the
+    cotangent back through the (distinct-key) sort permutation exactly like
+    autodiff through jnp.sort."""
+    from deltakd_tpu.ops.sort import sort_tokens_diff
+
+    rng = np.random.RandomState(7)
+    # distinct keys so the sort permutation (and thus the VJP) is unique
+    x = rng.permutation(3 * 100 * 5).reshape(3, 100, 5).astype(np.float32)
+    x = jnp.asarray(x + 0.1 * rng.rand(3, 100, 5).astype(np.float32))
+
+    np.testing.assert_array_equal(np.asarray(sort_tokens_diff(x, axis=1)),
+                                  np.sort(np.asarray(x), axis=1))
+
+    w = jnp.asarray(rng.randn(3, 100, 5).astype(np.float32))
+
+    def f_diff(x):
+        return jnp.sum(w * sort_tokens_diff(x, axis=1) ** 2)
+
+    def f_ref(x):
+        return jnp.sum(w * jnp.sort(x, axis=1) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_diff)(x)),
+                               np.asarray(jax.grad(f_ref)(x)), rtol=1e-6)
