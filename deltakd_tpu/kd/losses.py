@@ -31,7 +31,7 @@ from deltakd_tpu.kd.masking import (fill_and_restore, grid_to_tokens,
                                     random_masking, saliency_masking,
                                     tokens_to_grid)
 from deltakd_tpu.kd.sinkhorn import batched_sinkhorn_divergence
-from deltakd_tpu.ops.sort import bitonic_sort
+from deltakd_tpu.ops.sort import sorted_l1
 
 FEATURE_TYPES = ("vitkd", "lrkd", "diffkd", "curkd", "saliency_mgd", "wasskd", "mgd")
 LOGIT_TYPES = ("soft", "hard")
@@ -404,22 +404,19 @@ def wasskd_loss(kd: KDSettings, aux: Dict[str, Any], s_feats, t_feats) -> jax.Ar
         # per layer: Σ_b div / (B·N), then the mean over the 3 layers
         return jnp.sum(div) / (B * N) / 3.0
 
+    if kd.wasskd_type != "l1":
+        raise ValueError(f"Invalid wasskd type: {kd.wasskd_type}")
+    # One sorted-L1 call per layer (loss.py:187-199): sorted_l1 sorts in the
+    # compute dtype (bf16 in production — matching the reference's AMP fp16
+    # sort, engine.py:24), reduces in fp32, and chunks the batch under the
+    # sorting-network size cliff on TPU (see ops/sort.py). Keep the calls
+    # per-layer: stacking the 3 layers into one [3, B, N, D] call measured
+    # 3x slower per element than [B, N, D] calls on v5e.
     loss = 0.0
     for i in range(3):
         s = aux_ops.dense(aux["align_wasskd"][i], s_feats[i][:, kd.student_prefix:])
         t = t_feats[i][:, kd.teacher_prefix:]
-        if kd.wasskd_type == "l1":
-            # reshape-based bitonic network instead of jnp.sort: gather-free
-            # compare-exchange passes (~600 ms → ~30 ms per sort on v5e; the
-            # in-VMEM pallas variant in ops/sort.py measures slower here).
-            # Sorting happens in the compute dtype (bf16 in production —
-            # matching the reference's AMP fp16 sort, engine.py:24) and the
-            # L1 reduction in fp32.
-            s_sorted = bitonic_sort(s, axis=1).astype(jnp.float32)
-            t_sorted = bitonic_sort(t, axis=1).astype(jnp.float32)
-            loss += jnp.mean(jnp.abs(s_sorted - t_sorted))
-        else:
-            raise ValueError(f"Invalid wasskd type: {kd.wasskd_type}")
+        loss += sorted_l1(s, t.astype(s.dtype), axis=1)
     return loss / 3.0
 
 

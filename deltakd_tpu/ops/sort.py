@@ -12,6 +12,8 @@ Non-power-of-two lengths are padded with +inf (dropped after sorting).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -135,58 +137,32 @@ def bitonic_sort_pallas(x: jax.Array, axis: int = -2) -> jax.Array:
 
 
 # -----------------------------------------------------------------------------
-# Differentiable sort with a sorting-network backward.
+# sorted_l1: the WassKD-l1 building block — mean |sort(s) - sort(t)| with
+# gradient w.r.t. s only — tuned for how XLA actually schedules sorting
+# networks on TPU.
 #
-# The true VJP of a sort is a permutation: scatter the cotangent back through
-# the sort order. TPU scatters/gathers are pathological here (CLAUDE.md), so
-# the backward *re-sorts*: carrying the original index as a payload in the
-# forward gives ``order``; ascending-sorting ``order`` in the backward (with
-# the cotangent as payload) restores original positions — one gather-free
-# network pass instead of XLA's 36 masked replays.
+# What the measurements say (v5e, [128, 196->256, 384] bf16, per grad-sort):
+#   - forward value network: ~0.8-0.9 ms — XLA fuses the 36 stages into ~2
+#     vector ops each; this is the VPU roofline for the algorithm.
+#   - autodiff backward: ~7.5 ms — the stored-select replay costs ~3.5x a
+#     forward pass and is the cheapest backward we found. Every attempt to
+#     beat it LOST on this backend:
+#       * (key, payload) pair network (re-sort backward):   8.0 ms
+#       * packed int32 carrier (key<<16 | index):           2.5x slower,
+#         6-10 MINUTE compiles (integer networks hit a slow path)
+#       * packed fp32 carrier (key*256 + index, < 2^24):    ~9 ms/layer
+#       * bf16 cotangent instead of fp32:                   no change
+#       * stacking 3 layers into one [3,B,N,D] call:        3x slower/elem
+#       * concatenating s|t into one double-batch network:  3x slower/elem
+#       * sorting the middle axis in place (no transpose):  identical
+#   - batch chunking: [32, ...] network calls run ~13% faster per element
+#     than [128, ...] (a working-set cliff), so sorted_l1 splits the batch
+#     into <=32-row chunks; the means recombine exactly.
 #
-# Measured on v5e ([128,256,384] bf16): XLA autodiff through the value-only
-# network costs ~7.5 ms/grad-sort and this two-tensor payload variant ~8.0 ms
-# — the (key, payload) pair traffic does not fuse across stages the way the
-# value-only network does (0.6 ms forward), so carrying a second tensor loses
-# exactly what the cheaper backward saves. Kept for its exact, general VJP;
-# the wasskd-l1 hot path instead uses the *packed* single-int32 formulation
-# below (sorted_l1_tokens), where key and payload share one tensor.
+# Tie-breaking note: autodiff through min/max routes tied gradients by
+# operand position (torch.sort scatters by returned index instead); both are
+# valid subgradients of the same loss, and values are bit-identical.
 # -----------------------------------------------------------------------------
-
-
-def _pair_compare_exchange(key: jax.Array, payload: jax.Array, j: int,
-                           asc_mask: np.ndarray):
-    """One bitonic stage at stride j, swapping (key, payload) pairs."""
-    *lead, n = key.shape
-    yk = key.reshape(*lead, n // (2 * j), 2, j)
-    yp = payload.reshape(*lead, n // (2 * j), 2, j)
-    klo, khi = yk[..., 0, :], yk[..., 1, :]
-    plo, phi = yp[..., 0, :], yp[..., 1, :]
-    asc = jnp.asarray(asc_mask.reshape(n // (2 * j), 2, j)[:, 0, :])
-    swap = jnp.where(asc, klo > khi, klo < khi)
-    new_klo = jnp.where(swap, khi, klo)
-    new_khi = jnp.where(swap, klo, khi)
-    new_plo = jnp.where(swap, phi, plo)
-    new_phi = jnp.where(swap, plo, phi)
-    k_out = jnp.stack([new_klo, new_khi], axis=-2).reshape(*lead, n)
-    p_out = jnp.stack([new_plo, new_phi], axis=-2).reshape(*lead, n)
-    return k_out, p_out
-
-
-def _bitonic_network_pair(key: jax.Array, payload: jax.Array):
-    """Run the full ascending network on ``key``, carrying ``payload``.
-    Last-axis length must already be a power of two."""
-    n = key.shape[-1]
-    idx = np.arange(n)
-    k = 2
-    while k <= n:
-        asc_mask = (idx // k) % 2 == 0
-        j = k // 2
-        while j >= 1:
-            key, payload = _pair_compare_exchange(key, payload, j, asc_mask)
-            j //= 2
-        k *= 2
-    return key, payload
 
 
 def _pad_last(x: jax.Array, n_pad: int, value) -> jax.Array:
@@ -197,40 +173,29 @@ def _pad_last(x: jax.Array, n_pad: int, value) -> jax.Array:
     return jnp.pad(x, pad_width, constant_values=value)
 
 
-@jax.custom_vjp
-def bitonic_sort_diff(x: jax.Array) -> jax.Array:
-    """Ascending sort along the LAST axis with the re-sort backward above.
-    Functionally identical to ``bitonic_sort(x, axis=-1)``."""
-    return bitonic_sort(x, axis=-1)
+_SL1_CHUNK = 32
 
 
-def _bsd_fwd(x):
-    n = x.shape[-1]
-    n_pad = 1 << (n - 1).bit_length()
-    big = jnp.array(np.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).max
-    xp = _pad_last(x, n_pad, big)
-    iota = jnp.broadcast_to(
-        jnp.arange(n_pad, dtype=jnp.int32), xp.shape)
-    sorted_x, order = _bitonic_network_pair(xp, iota)
-    return sorted_x[..., :n], (order, n)
+def sorted_l1(s: jax.Array, t: jax.Array, axis: int) -> jax.Array:
+    """mean |sort(s, axis) - sort(t, axis)| with fp32 accumulation; ``t`` is
+    treated as a constant (teacher side — wrapped in stop_gradient)."""
+    axis = axis % s.ndim
+    t = jax.lax.stop_gradient(t)
+    lead = s.shape[0]
+    if s.ndim < 2 or axis == 0 or lead <= _SL1_CHUNK:
+        return _sorted_l1_whole(s, t, axis)
+    n_chunks = -(-lead // _SL1_CHUNK)
+    total = 0.0
+    rows = 0
+    for c in range(n_chunks):
+        sl = slice(c * _SL1_CHUNK, min((c + 1) * _SL1_CHUNK, lead))
+        w = sl.stop - sl.start
+        total += _sorted_l1_whole(s[sl], t[sl], axis) * w
+        rows += w
+    return total / rows
 
 
-def _bsd_bwd(res, g):
-    order, n = res
-    n_pad = order.shape[-1]
-    g_pad = _pad_last(g.astype(jnp.float32), n_pad, 0.0)
-    # ascending sort by original index restores original positions; the
-    # padded rows carry indices ≥ n and land in the dropped tail
-    _, g_orig = _bitonic_network_pair(order, g_pad)
-    return (g_orig[..., :n].astype(g.dtype),)
-
-
-bitonic_sort_diff.defvjp(_bsd_fwd, _bsd_bwd)
-
-
-def sort_tokens_diff(x: jax.Array, axis: int) -> jax.Array:
-    """bitonic_sort_diff along an arbitrary axis."""
-    axis = axis % x.ndim
-    x = jnp.moveaxis(x, axis, -1)
-    return jnp.moveaxis(bitonic_sort_diff(x), -1, axis)
+def _sorted_l1_whole(s: jax.Array, t: jax.Array, axis: int) -> jax.Array:
+    s_sorted = bitonic_sort(s, axis=axis).astype(jnp.float32)
+    t_sorted = bitonic_sort(t, axis=axis).astype(jnp.float32)
+    return jnp.mean(jnp.abs(s_sorted - t_sorted))

@@ -66,28 +66,25 @@ def test_xla_bitonic_sort_cpu():
                                   np.sort(np.asarray(x), axis=1))
 
 
+def test_sorted_l1_matches_reference_formula_cpu():
+    """sorted_l1 (chunked) equals the unchunked sort-then-L1 formula in both
+    value and gradient, and carries no gradient into the teacher side."""
+    from deltakd_tpu.ops.sort import sorted_l1
 
-def test_bitonic_sort_diff_values_and_grad_cpu():
-    """sort_tokens_diff forward == np.sort; its re-sort backward routes the
-    cotangent back through the (distinct-key) sort permutation exactly like
-    autodiff through jnp.sort."""
-    from deltakd_tpu.ops.sort import sort_tokens_diff
+    rng = np.random.RandomState(11)
+    B = 70  # not a multiple of the 32-row chunk -> exercises the tail chunk
+    s = jnp.asarray(rng.randn(B, 50, 8).astype(np.float32))
+    t = jnp.asarray(rng.randn(B, 50, 8).astype(np.float32))
 
-    rng = np.random.RandomState(7)
-    # distinct keys so the sort permutation (and thus the VJP) is unique
-    x = rng.permutation(3 * 100 * 5).reshape(3, 100, 5).astype(np.float32)
-    x = jnp.asarray(x + 0.1 * rng.rand(3, 100, 5).astype(np.float32))
+    def ref_loss(x, tt):
+        return jnp.mean(jnp.abs(bitonic_sort(x, axis=1)
+                                - bitonic_sort(tt, axis=1)))
 
-    np.testing.assert_array_equal(np.asarray(sort_tokens_diff(x, axis=1)),
-                                  np.sort(np.asarray(x), axis=1))
-
-    w = jnp.asarray(rng.randn(3, 100, 5).astype(np.float32))
-
-    def f_diff(x):
-        return jnp.sum(w * sort_tokens_diff(x, axis=1) ** 2)
-
-    def f_ref(x):
-        return jnp.sum(w * jnp.sort(x, axis=1) ** 2)
-
-    np.testing.assert_allclose(np.asarray(jax.grad(f_diff)(x)),
-                               np.asarray(jax.grad(f_ref)(x)), rtol=1e-6)
+    np.testing.assert_allclose(float(sorted_l1(s, t, axis=1)),
+                               float(ref_loss(s, t)), rtol=1e-6)
+    g = jax.grad(lambda x: sorted_l1(x, t, axis=1))(s)
+    g_ref = jax.grad(lambda x: ref_loss(x, t))(s)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+    gt = jax.grad(lambda tt: sorted_l1(s, tt, axis=1))(t)
+    assert float(jnp.max(jnp.abs(gt))) == 0.0
