@@ -472,3 +472,50 @@ def test_curkd_dynamics_cross_phase_boundary():
     _assert_tracks(torch_losses, jax_losses,
                    _global_norm_torch(t_all), _global_norm_jax(state.params),
                    _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_wasskd_l1_dynamics_match_torch_200_steps():
+    """WassKD-l1: the only objective whose gradient flows through a *sort*.
+    torch.sort's backward scatters the cotangent by the returned indices;
+    ours rides XLA autodiff through the bitonic compare-exchange network
+    (ops/sort.py sorted_l1). For distinct values both produce the exact
+    permutation gradient, so the 200-step trajectories must track — this
+    pins the combine semantics (base + 5·distill, reference model/loss.py:
+    242) and the 3 co-trained align heads along with the sort VJP."""
+    images, labels = _data(7)
+    t_student, j_student, s_params = _make_pair(False, seed=8)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=9, dim=T_DIM)
+    aux = init_aux_params(jax.random.PRNGKey(10), "wasskd", S_DIM, T_DIM)
+    kd = KDSettings(distillation_type="wasskd", wasskd_type="l1",
+                    smoothing=0.1, mixup_active=False,
+                    student_prefix=1, teacher_prefix=2)
+
+    aligns = [TR.np_to_torch_linear(aux["align_wasskd"][i]) for i in range(3)]
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        distill = TR.torch_wasskd_l1(s_feats, [t.detach() for t in t_feats],
+                                     aligns)
+        return base + 5.0 * distill
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(
+        t_student, t_teacher, aligns, torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
