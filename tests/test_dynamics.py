@@ -519,3 +519,94 @@ def test_wasskd_l1_dynamics_match_torch_200_steps():
     _assert_tracks(torch_losses, jax_losses,
                    _global_norm_torch(t_all), _global_norm_jax(state.params),
                    _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_vitkd_dynamics_match_torch_200_steps():
+    """ViTKD: two linear-mimicking align heads on blocks 0/1 plus block-11
+    masked generation (reference model/loss.py:251-311), all co-trained with
+    the student; shared mask noise on both sides."""
+    images, labels = _data(11)
+    t_student, j_student, s_params = _make_pair(False, seed=12)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=13, dim=T_DIM)
+    aux = init_aux_params(jax.random.PRNGKey(14), "vitkd", S_DIM, T_DIM)
+    kd = KDSettings(distillation_type="vitkd", smoothing=0.1,
+                    mixup_active=False, student_prefix=1, teacher_prefix=2)
+
+    align2 = [TR.np_to_torch_linear(aux["align2"][i]) for i in range(2)]
+    align = TR.np_to_torch_linear(aux["align"])
+    gen1 = TR.np_to_torch_conv3x3(aux["generation"]["conv1"])
+    gen2 = TR.np_to_torch_conv3x3(aux["generation"]["conv2"])
+    mask_token = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(aux["mask_token"], np.float32)))
+    holder = torch.nn.Module()
+    holder.mask_token = mask_token
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        k = jax.random.fold_in(jax.random.PRNGKey(99), s)
+        noise = torch.from_numpy(
+            np.asarray(jax.random.uniform(k, (B, (IMG // PATCH) ** 2))))
+        distill = TR.torch_vitkd(s_feats, [t.detach() for t in t_feats],
+                                 align2, align, mask_token, gen1, gen2, noise)
+        return base + distill
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(
+        t_student, t_teacher, align2 + [align, gen1, gen2, holder],
+        torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_hard_kd_dynamics_match_torch_200_steps():
+    """Hard logit KD: CE against the teacher's argmax on the dist head
+    (reference model/loss.py:56-60), (1−α)·base + α·hard combine."""
+    alpha = 0.5
+    images, labels = _data(15)
+    t_student, j_student, s_params = _make_pair(True, seed=16)
+    t_teacher, j_teacher, t_params = _make_pair(False, seed=17, dim=T_DIM)
+    kd = KDSettings(distillation_type="hard", alpha=alpha, smoothing=0.1,
+                    mixup_active=False, student_prefix=2, teacher_prefix=1)
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, dist_logits, _ = student.forward_with_features(x)
+        with torch.no_grad():
+            t_logits = teacher(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        hard = TR.torch_hard_kd(dist_logits, t_logits)
+        return (1 - alpha) * base + alpha * hard
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True,
+                              distilled_training=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=out.logits_dist,
+                             student_feats=None,
+                             teacher_logits=t_out.logits, teacher_feats=None,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(t_student, t_teacher, [],
+                                            torch_loss, images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params, {},
+                                 kd, jax_loss, images, labels)
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
