@@ -27,6 +27,9 @@ from deltakd_tpu.ckpt.checkpoint import load_checkpoint
 
 
 def main(argv=None):
+    from deltakd_tpu.cli.train import _honor_platform_env
+
+    _honor_platform_env()
     parser = argparse.ArgumentParser(description="Evaluate a checkpoint")
     add_train_args(parser)
     parser.add_argument("--use-ema", action="store_true",

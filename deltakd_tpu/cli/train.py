@@ -9,11 +9,26 @@ whole TPU mesh):
         --dataset cifar-100 --data-path dataset --epochs 300 ...
 """
 
-from deltakd_tpu.configs import parse_args
-from deltakd_tpu.train.loop import run
+import os
+
+
+def _honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS through the config API. On hosts whose
+    sitecustomize registers a tunneled TPU platform, the env var alone does
+    not switch backends (it is read before the plugin pins its platform);
+    the config update must land before the first backend query."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def main(argv=None):
+    _honor_platform_env()
+    from deltakd_tpu.configs import parse_args
+    from deltakd_tpu.train.loop import run
+
     cfg = parse_args(argv)
     from deltakd_tpu.parallel.mesh import is_main_process
 

@@ -33,11 +33,20 @@ import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
-NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token")
+NO_DECAY_NAMES = ("bias", "scale", "pos_embed", "cls_token", "dist_token",
+                  # The saliency probe only influences the loss through
+                  # argsort *indices*, so its params receive no gradient. In
+                  # the reference that leaves p.grad = None and torch AdamW
+                  # skips the param entirely — no decay either (the random
+                  # probe stays frozen at init for the whole run,
+                  # model/misc.py:38-165 + tools/train.py:264). optax adamw
+                  # would decay zero-grad params, so exclude them explicitly.
+                  "saliency_attn")
 
 
 def wd_mask(params) -> Any:
-    """True where weight decay applies (timm: ndim > 1 and not in no_decay)."""
+    """True where weight decay applies (timm: ndim > 1 and not in no_decay,
+    minus params that torch never touches because they carry no grad)."""
 
     def decay(path, leaf):
         names = [getattr(p, "key", getattr(p, "idx", "")) for p in path]

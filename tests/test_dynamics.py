@@ -610,3 +610,71 @@ def test_hard_kd_dynamics_match_torch_200_steps():
     _assert_tracks(torch_losses, jax_losses,
                    _global_norm_torch(t_all), _global_norm_jax(state.params),
                    _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))
+
+
+def test_saliency_mgd_dynamics_match_torch_200_steps():
+    """Saliency-MGD (method 1): the probe scores only influence the loss
+    through argsort indices, so the probe params receive NO gradient — torch
+    AdamW (p.grad is None) skips them entirely, keeping the random probe
+    frozen at init for the whole run. Verifies our wd-mask exclusion does
+    the same (optax would otherwise weight-decay the zero-grad params) and
+    that the align/mask_token/generation co-training tracks."""
+    images, labels = _data(19)
+    t_student, j_student, s_params = _make_pair(False, seed=20)
+    t_teacher, j_teacher, t_params = _make_pair(True, seed=21, dim=T_DIM)
+    aux = init_aux_params(jax.random.PRNGKey(22), "saliency_mgd", S_DIM, T_DIM,
+                          saliency_method=1)
+    kd = KDSettings(distillation_type="saliency_mgd", saliency_method=1,
+                    saliency_mask_ratio=0.5, smoothing=0.1,
+                    mixup_active=False, student_prefix=1, teacher_prefix=2)
+
+    align = TR.np_to_torch_linear(aux["align"])
+    gen1 = TR.np_to_torch_conv3x3(aux["generation"]["conv1"])
+    gen2 = TR.np_to_torch_conv3x3(aux["generation"]["conv2"])
+    mask_token = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(aux["mask_token"], np.float32)))
+    holder = torch.nn.Module()
+    holder.mask_token = mask_token
+    attn = TR.TorchSimpleAttention(T_DIM, 8)
+    with torch.no_grad():
+        lin = TR.np_to_torch_linear(aux["saliency_attn"]["qk"])
+        attn.qk.weight.copy_(lin.weight)
+        attn.qk.bias.copy_(lin.bias)
+    probe_init = {n: p.detach().clone() for n, p in attn.named_parameters()}
+
+    def torch_loss(student, teacher, x, y, s):
+        cls_logits, _, s_feats = student.forward_with_features(x)
+        with torch.no_grad():
+            _, _, t_feats = teacher.forward_with_features(x)
+        base = F.cross_entropy(cls_logits, y, label_smoothing=0.1)
+        distill = TR.torch_saliency_mgd(
+            s_feats[-1], t_feats[-1].detach(), align, mask_token, gen1, gen2,
+            attn, kd.saliency_mask_ratio, 1)
+        return base + distill
+
+    def jax_loss(p, x, y, k, ep):
+        out = j_student.apply({"params": p["student"]}, x, train=True)
+        t_out = j_teacher.apply({"params": t_params}, x, train=False)
+        loss, _ = total_loss(kd, student_logits=out.logits,
+                             student_dist_logits=None,
+                             student_feats=out.features,
+                             teacher_logits=t_out.logits,
+                             teacher_feats=t_out.features,
+                             aux_params=p["aux"], targets=y, rng=k)
+        return loss
+
+    torch_losses, t_all, t_ema = _run_torch(
+        t_student, t_teacher, [align, gen1, gen2, holder, attn], torch_loss,
+        images, labels)
+    jax_losses, state = _run_jax(j_student, j_teacher, s_params, t_params,
+                                 aux, kd, jax_loss, images, labels)
+    # both sides froze the gradient-less probe at its init
+    for n, p in attn.named_parameters():
+        np.testing.assert_array_equal(p.detach().numpy(),
+                                      probe_init[n].numpy())
+    np.testing.assert_array_equal(
+        np.asarray(state.params["aux"]["saliency_attn"]["qk"]["kernel"]),
+        np.asarray(aux["saliency_attn"]["qk"]["kernel"]))
+    _assert_tracks(torch_losses, jax_losses,
+                   _global_norm_torch(t_all), _global_norm_jax(state.params),
+                   _global_norm_torch(t_ema), _global_norm_jax(state.ema_params))

@@ -105,7 +105,9 @@ def test_two_process_distributed_batch_meters_checkpoint(tmp_path):
         [sys.executable, str(worker_py), str(i), str(port), str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    # generous: the mesh-(2,2) run() compile is slow under full-suite
+    # CPU contention (measured 540s+ alongside other tests)
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
