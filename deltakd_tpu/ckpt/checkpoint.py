@@ -33,6 +33,7 @@ _STATE_DIR = "state"
 _BEST_SUFFIX = ".best"
 _META = "meta.json"
 _FORMAT = "wrapped-v1"  # {'state','meta'} tree inside a numbered state dir
+_PREV_SUFFIX = ".prev"  # same-epoch re-save parks the old committed dir here
 
 
 _CKPTR: Optional[ocp.StandardCheckpointer] = None
@@ -55,9 +56,12 @@ def wait_for_checkpoints() -> None:
 
 def _committed_state_dirs(save_dir: str):
     """Committed state dirs under save_dir, oldest→newest: the numbered
-    ``state-<epoch>`` layout plus the legacy bare ``state``. Orbax commits
-    by atomic rename, so any dir matching the plain name (no tmp suffix)
-    is a complete checkpoint."""
+    ``state-<epoch>`` layout, its ``.prev`` sibling (a same-epoch re-save
+    parks the previous committed dir there so a crash mid-re-save still
+    finds a complete checkpoint), plus the legacy bare ``state``. Orbax
+    commits by atomic rename, so any dir matching these names (no tmp
+    suffix) is a complete checkpoint. A ``.prev`` sorts just below its
+    numbered sibling."""
     out = []
     if not os.path.isdir(save_dir):
         return out
@@ -65,12 +69,15 @@ def _committed_state_dirs(save_dir: str):
         full = os.path.join(save_dir, name)
         if not os.path.isdir(full):
             continue
+        prev = 1
+        if name.endswith(_PREV_SUFFIX):
+            name, prev = name[:-len(_PREV_SUFFIX)], 0
         if name == _STATE_DIR:
-            out.append((-1, full))
+            out.append(((-1, prev), full))
         elif name.startswith(_STATE_DIR + "-"):
             tail = name[len(_STATE_DIR) + 1:]
             if tail.isdigit():
-                out.append((int(tail), full))
+                out.append(((int(tail), prev), full))
     return [p for _, p in sorted(out)]
 
 
@@ -109,17 +116,27 @@ def save_checkpoint(save_dir: str, state, *, epoch: int, best_acc: float,
         for old in committed:
             if old != keep and old != path:
                 shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(path):  # same-epoch re-save (tests, restarts)
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            # Same-epoch re-save (tests, restarts): ``path`` may be the ONLY
+            # committed checkpoint, so never rmtree it before the replacement
+            # commits — park it at ``.prev`` (atomic rename; recognized by
+            # the scanner, deleted as superseded on the next save).
+            prev = path + _PREV_SUFFIX
+            if os.path.isdir(prev):
+                shutil.rmtree(prev, ignore_errors=True)
+            os.replace(path, prev)
     # numpy (not jnp) scalars: host-local device arrays are not serializable
     # in multi-host saves; numpy is treated as replicated on every host
     tree = {"state": state,
             "meta": {"epoch": np.asarray(epoch, np.int32),
                      "best_acc": np.asarray(best_acc, np.float32)}}
     ckptr.save(path, tree)
-    with open(os.path.join(save_dir, _META), "w") as f:
-        json.dump({"epoch": epoch, "best_acc": float(best_acc),
-                   "format": _FORMAT, "state_dir": os.path.basename(path)}, f)
+    if jax.process_index() == 0:
+        # proc-0-only: N concurrent truncate-writes to the shared meta.json
+        # could expose an empty/torn file to a crash-time reader
+        with open(os.path.join(save_dir, _META), "w") as f:
+            json.dump({"epoch": epoch, "best_acc": float(best_acc),
+                       "format": _FORMAT, "state_dir": os.path.basename(path)}, f)
     if is_best or block:
         ckptr.wait_until_finished()
     if is_best and jax.process_index() == 0:

@@ -121,8 +121,6 @@ def bitonic_sort_pallas(x: jax.Array, axis: int = -2) -> jax.Array:
     B = int(np.prod(lead)) if lead else 1
     x3 = x.reshape(B, n_pad, d)
 
-    import functools
-
     out = pl.pallas_call(
         functools.partial(_sort_kernel, n_pad=n_pad),
         grid=(B,),
@@ -163,14 +161,6 @@ def bitonic_sort_pallas(x: jax.Array, axis: int = -2) -> jax.Array:
 # operand position (torch.sort scatters by returned index instead); both are
 # valid subgradients of the same loss, and values are bit-identical.
 # -----------------------------------------------------------------------------
-
-
-def _pad_last(x: jax.Array, n_pad: int, value) -> jax.Array:
-    n = x.shape[-1]
-    if n_pad == n:
-        return x
-    pad_width = [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)]
-    return jnp.pad(x, pad_width, constant_values=value)
 
 
 _SL1_CHUNK = 32

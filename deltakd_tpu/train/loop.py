@@ -12,6 +12,7 @@ waits on Python between steps.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 import signal
@@ -60,6 +61,15 @@ def _put_batch(x, sharding):
     return jax.device_put(x, sharding)
 
 
+@functools.lru_cache(maxsize=None)
+def _metric_stacker(names: tuple):
+    """One jitted stacker per metric-name set for the process lifetime — a
+    per-epoch lambda would make jit retrace every epoch (cache keys on the
+    function object)."""
+    return jax.jit(lambda m: jnp.stack([jnp.asarray(m[k], jnp.float32)
+                                        for k in names]))
+
+
 def train_one_epoch(state, train_step, teacher_params, loader: Loader,
                     epoch: int, base_key, cfg, *, batch_shard=None,
                     is_main: bool = True, printer=print) -> tuple:
@@ -90,10 +100,7 @@ def train_one_epoch(state, train_step, teacher_params, loader: Loader,
                                     base_key, epoch_arr)
         if names is None:
             names = sorted(metrics)
-            keys = list(names)
-            stacker = jax.jit(
-                lambda m: jnp.stack([jnp.asarray(m[k], jnp.float32)
-                                     for k in keys]))
+            stacker = _metric_stacker(tuple(names))
         vec = stacker(metrics)
         sums = vec if sums is None else sums + vec
         n_steps += 1

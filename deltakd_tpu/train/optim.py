@@ -29,6 +29,7 @@ import math
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
+import numpy as np
 import jax.flatten_util
 import jax.numpy as jnp
 import optax
@@ -159,9 +160,15 @@ def _is_lr_scale(node) -> bool:
 
 
 def set_lr_scale(opt_state, value: float):
-    """Return ``opt_state`` with every LRScaleState's multiplier replaced."""
+    """Return ``opt_state`` with every LRScaleState's multiplier replaced.
+
+    The new scale is a numpy scalar, not a device array: a host-local
+    ``jnp.asarray`` would replace the mesh-replicated leaf with a
+    single-device array — unserializable in collective multi-host saves and
+    a device-mismatch hazard for the next multi-host jitted step (numpy is
+    treated as replicated everywhere, like the checkpoint meta scalars)."""
     return jax.tree.map(
-        lambda s: s._replace(scale=jnp.asarray(value, jnp.float32)),
+        lambda s: s._replace(scale=np.asarray(value, np.float32)),
         opt_state, is_leaf=_is_lr_scale)
 
 

@@ -412,3 +412,32 @@ def test_plateau_optimizer_scale_changes_update_size():
     np.testing.assert_allclose(
         np.asarray(upd_scaled["student"]["w"]),
         0.1 * np.asarray(upd_full["student"]["w"]), rtol=1e-6)
+
+
+def test_same_epoch_resave_never_deletes_the_only_checkpoint(tmp_path):
+    """A same-epoch re-save must not rmtree the only committed checkpoint
+    before its replacement commits: the old dir is parked at ``.prev``
+    (atomic rename), stays restorable, and is cleaned as superseded by the
+    NEXT save (round-3 review finding)."""
+    import os
+
+    from deltakd_tpu.ckpt.checkpoint import (_committed_state_dirs,
+                                             load_checkpoint, save_checkpoint)
+
+    def simple_state(v):
+        return {"w": jnp.full((3,), float(v))}
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, simple_state(1.0), epoch=5, best_acc=0.0, is_best=False)
+    # re-save the SAME epoch with different weights
+    save_checkpoint(d, simple_state(2.0), epoch=5, best_acc=0.0, is_best=False)
+    # both the fresh dir and the parked .prev are committed checkpoints
+    dirs = [os.path.basename(p) for p in _committed_state_dirs(d)]
+    assert dirs == ["state-5.prev", "state-5"], dirs
+    state, epoch, _ = load_checkpoint(d, simple_state(0.0))
+    assert epoch == 5
+    np.testing.assert_array_equal(np.asarray(state["w"]), 2.0)
+    # the next save cleans everything superseded, keeping its predecessor
+    save_checkpoint(d, simple_state(3.0), epoch=6, best_acc=0.0, is_best=False)
+    dirs = [os.path.basename(p) for p in _committed_state_dirs(d)]
+    assert dirs == ["state-5", "state-6"], dirs
