@@ -231,5 +231,28 @@ def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
     return batch_size * n / elapsed / len(jax.devices())
 
 
+def _main_with_watchdog():
+    """Fail loudly instead of hanging the driver: the tunneled TPU backend
+    can wedge (jax.devices()/first compile block forever — see
+    CLAUDE.md / memory). Run the benchmark in a child process and give it a
+    hard deadline; on expiry, kill the child by PID and exit non-zero so the
+    round records a failed bench rather than a stalled one."""
+    import multiprocessing as mp
+    import sys
+
+    deadline_s = int(os.environ.get("DELTAKD_BENCH_DEADLINE_S", "1500"))
+    ctx = mp.get_context("spawn")
+    child = ctx.Process(target=main)
+    child.start()
+    child.join(deadline_s)
+    if child.is_alive():
+        child.kill()
+        child.join(30)
+        print(f"[bench] ERROR: no result within {deadline_s}s — TPU backend "
+              f"unreachable or wedged; no JSON line emitted", file=sys.stderr)
+        sys.exit(1)
+    sys.exit(child.exitcode or 0)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()
