@@ -136,3 +136,62 @@ def test_fused_stack_learns_texture_task_224_tpu():
         state, m = step(state, sp, ji[s % 2], jl[s % 2], key,
                         jnp.asarray(0, jnp.int32))
     assert float(m["train_acc1"]) > 85.0, float(m["train_acc1"])
+
+
+def test_run_soft_kd_224_smoke_tpu(tmp_path):
+    """Recipe-ready accuracy surrogate (round-2 verdict item 10): drive the
+    production ``run()`` itself — real ImageFolder loader, on-device 224px
+    augmentation, soft-KD step, checkpointing — for 2 epochs on a learnable
+    texture task, and require the train loss to descend epoch-over-epoch.
+    The day real data lands, exp/soft-deit-tiny.sh is one --data-path away
+    from a measured top-1 (reference exp/soft-deit-tiny.sh:14-31). Prints the
+    measured epoch img/s (recorded in BASELINE.md)."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("run() 224px smoke needs the real chip")
+
+    import re
+
+    from PIL import Image
+
+    from deltakd_tpu.configs import parse_args
+    from deltakd_tpu.train.loop import run
+
+    rng = np.random.RandomState(0)
+    hw = 256
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    pats = [(yy // 16) % 2, (xx // 16) % 2, ((yy // 16) + (xx // 16)) % 2,
+            np.ones_like(yy)]
+    for split, per_class in (("train", 120), ("val", 24)):
+        for c in range(4):
+            d = tmp_path / "data" / split / f"class_{c}"
+            d.mkdir(parents=True)
+            for i in range(per_class):
+                img = np.clip(pats[c] * 200 + 30
+                              + rng.randint(-20, 20, (hw, hw)), 0, 255)
+                Image.fromarray(
+                    np.stack([img] * 3, -1).astype(np.uint8)).save(
+                        d / f"img_{i:04d}.jpg", quality=90)
+
+    cfg = parse_args([
+        "--dataset", "imagenet-1k", "--data-path", str(tmp_path / "data"),
+        "--input-size", "224", "--batch-size", "96", "--epochs", "2",
+        "--warmup-epochs", "0", "--lr", "1e-3", "--dtype", "bfloat16",
+        "--distillation-type", "soft", "--allow-random-teacher",
+        "--student-model", "deit_tiny_distilled_patch16_224",
+        "--teacher-model", "deit_small_distilled_patch16_224",
+        "--log-file", str(tmp_path / "logs" / "smoke.log"),
+        "--save-dir", str(tmp_path / "ckpt")])
+    metrics = run(cfg)
+    assert np.isfinite(metrics["val_loss"])
+
+    log_file = next((tmp_path / "logs").glob("*.log"))
+    text = log_file.read_text()
+    losses = [float(m) for m in re.findall(r"'train_loss': ([0-9.]+)", text)]
+    times = [float(m) for m in re.findall(r"Epoch \d+ \(([0-9.]+)s\)", text)]
+    assert len(losses) == 2, text[-2000:]
+    assert losses[1] < losses[0], f"no loss descent: {losses}"
+    steps = (4 * 120) // 96
+    print(f"[smoke] epoch img/s: "
+          f"{[round(steps * 96 / t, 1) for t in times]} (epoch 0 incl. compile)")
