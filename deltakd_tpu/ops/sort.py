@@ -13,6 +13,7 @@ Non-power-of-two lengths are padded with +inf (dropped after sorting).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -153,6 +154,14 @@ def bitonic_sort_pallas(x: jax.Array, axis: int = -2) -> jax.Array:
 #       * stacking 3 layers into one [3,B,N,D] call:        3x slower/elem
 #       * concatenating s|t into one double-batch network:  3x slower/elem
 #       * sorting the middle axis in place (no transpose):  identical
+#       * fused in-VMEM Pallas kernel (custom VJP, sorted_l1_pallas
+#         below: fwd = s-with-index-carrier + t nets; bwd = ONE unsort
+#         net over an idx*4+sign packed residual):          31.8 ms (3.8x)
+#         — root cause is Mosaic codegen, not HBM: even the value-only
+#         in-VMEM net (bitonic_sort_pallas) runs 7.0 ms vs XLA's 0.8 ms;
+#         the small-stride (j<8) sublane compare-exchange stages starve
+#         the VPU, while XLA fuses each stage to ~2 full-width vector ops.
+#         Kept opt-in (DELTAKD_SL1_PALLAS=1) as the measured record.
 #   - batch chunking: [32, ...] network calls run ~13% faster per element
 #     than [128, ...] (a working-set cliff), so sorted_l1 splits the batch
 #     into <=32-row chunks; the means recombine exactly.
@@ -168,7 +177,22 @@ _SL1_CHUNK = 32
 
 def sorted_l1(s: jax.Array, t: jax.Array, axis: int) -> jax.Array:
     """mean |sort(s, axis) - sort(t, axis)| with fp32 accumulation; ``t`` is
-    treated as a constant (teacher side — wrapped in stop_gradient)."""
+    treated as a constant (teacher side — wrapped in stop_gradient).
+
+    DELTAKD_SL1_PALLAS=1 routes 3-D [B, N, D] token-dim sorts through the
+    fused Pallas kernel (sorted_l1_pallas below) — MEASURED SLOWER than the
+    default XLA network+autodiff path (see the negative-results table); the
+    default stays the XLA path."""
+    axis = axis % s.ndim
+    if (axis == 1 and s.ndim == 3 and s.shape[-1] % 128 == 0
+            and s.shape[1] >= 2 and _sl1_pallas_ok()):
+        return sorted_l1_pallas(s, t, axis)
+    return _sorted_l1_network(s, t, axis)
+
+
+def _sorted_l1_network(s: jax.Array, t: jax.Array, axis: int) -> jax.Array:
+    """The XLA-network sorted_l1 (value net + autodiff backward), chunked
+    under the working-set cliff."""
     axis = axis % s.ndim
     t = jax.lax.stop_gradient(t)
     lead = s.shape[0]
@@ -189,3 +213,291 @@ def _sorted_l1_whole(s: jax.Array, t: jax.Array, axis: int) -> jax.Array:
     s_sorted = bitonic_sort(s, axis=axis).astype(jnp.float32)
     t_sorted = bitonic_sort(t, axis=axis).astype(jnp.float32)
     return jnp.mean(jnp.abs(s_sorted - t_sorted))
+
+
+# -----------------------------------------------------------------------------
+# Fused Pallas sorted_l1 (custom VJP).
+#
+# The XLA network's autodiff backward replays 36 stages of stored selects
+# (~7.5 ms per grad-sort at [128, 256, 384] — the negative-results table
+# above). This kernel removes both the HBM stage traffic and the select
+# replay:
+#
+#   forward (per batch element, all in VMEM):
+#     - sort s with an fp32 row-index carrier (2-carrier network)
+#     - sort t values (1-carrier network)
+#     - loss partial  = Σ |s_sorted − t_sorted| over the real rows (fp32)
+#     - residual      = idx_sorted·4 + sign(s_sorted − t_sorted) + 1
+#       (exact in fp32 for n_pad ≤ 2^21; the sign rides in the low 2 bits)
+#   backward (one 1-carrier network):
+#     - sort the packed residual ascending — the distinct idx·4 keys restore
+#       original row order (a sorting network IS the scatter; TPU scatters
+#       are pathological, see module docstring) — then decode the sign and
+#       scale by ct/numel.
+#
+# Net cost: 3 VMEM network passes fwd + 1 bwd, vs 2 HBM-fused passes fwd +
+# a ~3.5×-forward select replay bwd for the XLA path. Gradient semantics
+# match torch.sort's index scatter (rank-based), not autodiff's min/max tie
+# routing — both are valid subgradients (tie note above); values match the
+# network path bitwise per element (same compare-exchange min/max).
+#
+# Reference: model/loss.py:187-199 (wasskd-l1 sorts along the token dim).
+# -----------------------------------------------------------------------------
+
+
+def _sl1_pallas_ok() -> bool:
+    return os.environ.get("DELTAKD_SL1_PALLAS") == "1" and (
+        _fb_interpret() or (_HAS_PLTPU and jax.default_backend() == "tpu"))
+
+
+def _fb_interpret() -> bool:
+    """The fused-block interpret switch covers every Pallas kernel in the
+    package (CPU virtual-mesh tests flip it once)."""
+    try:
+        from deltakd_tpu.ops import fused_block
+        return bool(fused_block._INTERPRET)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _net_carriers(key, carriers, n_pad):
+    """Bitonic network sorting ``key`` ascending; ``carriers`` follow the
+    same compare-exchange swaps (ties never swap — stable per stage)."""
+    d = key.shape[-1]
+    k = 2
+    while k <= n_pad:
+        j = k // 2
+        while j >= 1:
+            m = n_pad // (2 * j)
+            ky = key.reshape(m, 2, j, d)
+            klo, khi = ky[:, 0], ky[:, 1]
+            blk = jax.lax.broadcasted_iota(jnp.int32, (m, j, 1), 0)
+            off = jax.lax.broadcasted_iota(jnp.int32, (m, j, 1), 1)
+            # direction as ±1 float, swap as one fp compare: Mosaic can't
+            # select over / lane-broadcast i1 vectors
+            dirf = 1.0 - 2.0 * (((blk * 2 * j + off) // k) % 2).astype(
+                jnp.float32)
+            swap = dirf * (klo.astype(jnp.float32)
+                           - khi.astype(jnp.float32)) > 0
+            key = jnp.stack([jnp.where(swap, khi, klo),
+                             jnp.where(swap, klo, khi)],
+                            axis=1).reshape(n_pad, d)
+            outs = []
+            for c in carriers:
+                cy = c.reshape(m, 2, j, d)
+                clo, chi = cy[:, 0], cy[:, 1]
+                outs.append(jnp.stack([jnp.where(swap, chi, clo),
+                                       jnp.where(swap, clo, chi)],
+                                      axis=1).reshape(n_pad, d))
+            carriers = outs
+            j //= 2
+        k *= 2
+    return key, carriers
+
+
+def _pad_rows(x, n_pad):
+    n, d = x.shape
+    if n_pad == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((n_pad - n, d), jnp.inf, x.dtype)], axis=0)
+
+
+def _sl1_fwd_kernel(s_ref, t_ref, loss_ref, packed_ref, *, n, n_pad):
+    d = s_ref.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, d), 0).astype(
+        jnp.float32)
+    sv, (sidx,) = _net_carriers(_pad_rows(s_ref[0], n_pad), [idx], n_pad)
+    tv, _ = _net_carriers(_pad_rows(t_ref[0], n_pad), [], n_pad)
+    diff = sv[:n].astype(jnp.float32) - tv[:n].astype(jnp.float32)
+    # (8,128) min-tile partial: val/1024 broadcast — summing 1024 identical
+    # power-of-two fractions reconstitutes val exactly
+    loss_ref[0] = (jnp.sum(jnp.abs(diff)) / 1024.0) * jnp.ones(
+        (8, 128), jnp.float32)
+    # pad rows (idx >= n, value +inf on both sides) carry sign 0
+    packed = sidx * 4.0 + 1.0
+    if n_pad != n:
+        packed = jnp.concatenate([packed[:n] + jnp.sign(diff), packed[n:]],
+                                 axis=0)
+    else:
+        packed = packed + jnp.sign(diff)
+    packed_ref[0] = packed
+
+
+def _sl1_bwd_kernel(packed_ref, g_ref, *, n, n_pad):
+    dec, _ = _net_carriers(packed_ref[0], [], n_pad)
+    dec = dec[:n]
+    idxf = jnp.floor(dec * 0.25)
+    g_ref[0] = (dec - idxf * 4.0 - 1.0).astype(g_ref.dtype)
+
+
+def _sl1_vmem_params():
+    return pltpu.CompilerParams(
+        # Mosaic's scoped-stack accounting sums same-scope temporaries; the
+        # true live set is ~2 MB per grid cell
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _sl1_fwd_call(s, t):
+    B, n, d = s.shape
+    n_pad = 1 << (n - 1).bit_length()
+    row = pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_sl1_fwd_kernel, n=n, n_pad=n_pad),
+        grid=(B,),
+        in_specs=[row, row],
+        out_specs=(pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((B, n_pad, d), jnp.float32)),
+        compiler_params=_sl1_vmem_params(),
+        interpret=_fb_interpret(),
+    )(s, t)
+
+
+def _sl1_bwd_call(packed, n, dtype):
+    B, n_pad, d = packed.shape
+    return pl.pallas_call(
+        functools.partial(_sl1_bwd_kernel, n=n, n_pad=n_pad),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, d), jnp.float32),
+        compiler_params=_sl1_vmem_params(),
+        interpret=_fb_interpret(),
+    )(packed)
+
+
+# --- multi-chip partitioning: batch partitions freely, nothing crosses
+# shards (loss partials are per-row, grads are batch-local) — same pattern
+# as ops/fused_block.py's custom_partitioning wrappers.
+
+_SL1_CP_CACHE = {}
+
+
+def _sl1_multi_device() -> bool:
+    forced = os.environ.get("DELTAKD_FUSED_CP")
+    if forced in ("0", "1"):
+        return forced == "1"
+    return jax.device_count() > 1
+
+
+def _sl1_batch_axes(sharding):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _sl1_get_fwd_cp():
+    if "fwd" in _SL1_CP_CACHE:
+        return _SL1_CP_CACHE["fwd"]
+    from jax.experimental.custom_partitioning import (SdyShardingRule,
+                                                      custom_partitioning)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def local(s, t):
+        return _sl1_fwd_call(s, t)
+
+    def shardings(mesh, baxes):
+        row = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        return (row, row), (row, row)
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, outs = shardings(mesh, _sl1_batch_axes(arg_shapes[0].sharding))
+        return outs
+
+    def partition(mesh, arg_shapes, result_shape):
+        args, outs = shardings(mesh, _sl1_batch_axes(arg_shapes[0].sharding))
+        return mesh, local, outs, args
+
+    cp = custom_partitioning(local)
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule=SdyShardingRule(
+            operand_mappings=(("b", "n", "d"), ("b", "n", "d")),
+            result_mappings=(("b", "u", "v"), ("b", "m", "d")),
+            need_replication_factors=("n", "d", "u", "v", "m")))
+    _SL1_CP_CACHE["fwd"] = cp
+    return cp
+
+
+def _sl1_get_bwd_cp(n, dtype):
+    key = ("bwd", n, jnp.dtype(dtype).name)
+    if key in _SL1_CP_CACHE:
+        return _SL1_CP_CACHE[key]
+    from jax.experimental.custom_partitioning import (SdyShardingRule,
+                                                      custom_partitioning)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def local(packed):
+        return _sl1_bwd_call(packed, n, dtype)
+
+    def infer(mesh, arg_shapes, result_shape):
+        baxes = _sl1_batch_axes(arg_shapes[0].sharding)
+        return NamedSharding(mesh, PartitionSpec(baxes, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxes = _sl1_batch_axes(arg_shapes[0].sharding)
+        row = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        return mesh, local, row, (row,)
+
+    cp = custom_partitioning(local)
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule=SdyShardingRule(
+            operand_mappings=(("b", "m", "d"),),
+            result_mappings=(("b", "n", "d"),),
+            need_replication_factors=("n", "d", "m")))
+    _SL1_CP_CACHE[key] = cp
+    return cp
+
+
+_SL1P_CACHE = {}
+
+
+def _get_sl1_pallas(n: int, dtype):
+    key = (n, jnp.dtype(dtype).name)
+    if key in _SL1P_CACHE:
+        return _SL1P_CACHE[key]
+
+    def cells_fwd(s, t):
+        if _sl1_multi_device():
+            return _sl1_get_fwd_cp()(s, t)
+        return _sl1_fwd_call(s, t)
+
+    def cells_bwd(packed):
+        if _sl1_multi_device():
+            return _sl1_get_bwd_cp(n, dtype)(packed)
+        return _sl1_bwd_call(packed, n, dtype)
+
+    @jax.custom_vjp
+    def f(s, t):
+        partials, _ = cells_fwd(s, t)
+        return jnp.sum(partials) / s.size
+
+    def fwd(s, t):
+        partials, packed = cells_fwd(s, t)
+        return jnp.sum(partials) / s.size, packed
+
+    def bwd(packed, ct):
+        B, _, d = packed.shape
+        raw = cells_bwd(packed)                      # [B, n, d] fp32 signs
+        g = raw * (ct / raw.size)
+        return g.astype(dtype), jnp.zeros((B, n, d), dtype)
+
+    f.defvjp(fwd, bwd)
+    _SL1P_CACHE[key] = f
+    return f
+
+
+def sorted_l1_pallas(s: jax.Array, t: jax.Array, axis: int = 1) -> jax.Array:
+    """Fused-kernel sorted_l1 over [B, N, D] along the token dim."""
+    assert axis % s.ndim == 1 and s.ndim == 3
+    t = jax.lax.stop_gradient(t).astype(s.dtype)
+    return _get_sl1_pallas(s.shape[1], s.dtype)(s, t)

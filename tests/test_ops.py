@@ -88,3 +88,29 @@ def test_sorted_l1_matches_reference_formula_cpu():
                                rtol=1e-5, atol=1e-8)
     gt = jax.grad(lambda tt: sorted_l1(s, tt, axis=1))(t)
     assert float(jnp.max(jnp.abs(gt))) == 0.0
+
+
+def test_sorted_l1_pallas_matches_network_cpu():
+    """The fused-kernel sorted_l1 (opt-in; measured slower on v5e — see the
+    negative-results table in ops/sort.py) stays value- and grad-correct:
+    interpret mode runs the exact kernel code path on CPU."""
+    from deltakd_tpu.ops import fused_block
+    from deltakd_tpu.ops.sort import _sorted_l1_network, sorted_l1_pallas
+
+    rng = np.random.RandomState(7)
+    s = jnp.asarray(rng.randn(4, 10, 128).astype(np.float32))
+    t = jnp.asarray(rng.randn(4, 10, 128).astype(np.float32))
+
+    fused_block.set_interpret(True)
+    try:
+        v_pl, g_pl = jax.value_and_grad(
+            lambda x: sorted_l1_pallas(x, t, axis=1))(s)
+    finally:
+        fused_block.set_interpret(False)
+    v_net, g_net = jax.value_and_grad(
+        lambda x: _sorted_l1_network(x, t, axis=1))(s)
+    # value: same per-element |diff| terms, different summation order
+    np.testing.assert_allclose(float(v_pl), float(v_net), rtol=1e-5)
+    # distinct values (continuous fp32) -> tie routing can't differ
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_net),
+                               rtol=1e-5, atol=1e-8)
