@@ -33,6 +33,30 @@ blocks; drop_path rate ramps linearly across depth).
 Per-block hook features (post-MLP, pre-droppath, pre-residual — what the
 reference's forward hooks capture, model/models.py:181-199) are an optional
 second output so logit-KD recipes don't pay the extra [B,N,D] write.
+
+Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
+  * Stash-instead-of-recompute backward (write bf16 qkv / softmax e,1/S /
+    merged / h / gelu' to HBM in the forward, read them back in the
+    backward): fwd +0.9 ms at b256 — the stash writes serialize at an
+    effective ~330 GB/s instead of overlapping, and the backward's stash
+    reads cost more than the matmul recompute they replace
+    (benchmarks/scratch_stash.py). Recompute stands.
+  * Hybrid Pallas-forward + XLA-autodiff backward: XLA computes weight
+    grads as one [B*N] contraction (MXU-friendly) but re-materializes
+    every intermediate through HBM; fused fwd+bwd beats it at every batch
+    size measured at the full-model level.
+  * Polynomial transcendentals (deg-8 Chebyshev erf-GELU with polynomial
+    derivative, exp2-scalb softmax with log2e folded into the q-scale):
+    kernel-level -4..-6% inside run-to-run noise, full-model level
+    student fwd+bwd -2.8%, teacher fwd regressed; Mosaic's exp lowering
+    is already cheap — the VPU cost is data passes, not op complexity
+    (benchmarks/scratch_poly.py). Not merged.
+  * TB=2 batch tiles (two elements per grid step to amortize VPU passes):
+    no win over TB=1 (round-2 measurement, machinery dropped in 949d2f8).
+  Timing protocol note: the chip throttles ~15% within seconds of
+  sustained load, so kernel-level A/B comparisons must interleave variants
+  round-robin (benchmarks/scratch_vpu.py); full-model timings are stable
+  to ±0.5% and are the only trustworthy decision basis.
 """
 
 from __future__ import annotations
