@@ -53,6 +53,11 @@ Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
     (benchmarks/scratch_poly.py). Not merged.
   * TB=2 batch tiles (two elements per grid step to amortize VPU passes):
     no win over TB=1 (round-2 measurement, machinery dropped in 949d2f8).
+  * int8 weight matmuls for the frozen teacher (symmetric per-channel
+    weights + per-token dynamic activation scales): the s8xs8->s32 MXU
+    double-rate mode is not reachable through this stack — a bare s8 dot
+    runs at ~bf16 speed in both Mosaic and XLA, and the full D=384 block
+    loses 9% to the quant/dequant passes (benchmarks/scratch_int8.py).
   Timing protocol note: the chip throttles ~15% within seconds of
   sustained load, so kernel-level A/B comparisons must interleave variants
   round-robin (benchmarks/scratch_vpu.py); full-model timings are stable
