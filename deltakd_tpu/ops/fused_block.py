@@ -51,8 +51,12 @@ Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
     student fwd+bwd -2.8%, teacher fwd regressed; Mosaic's exp lowering
     is already cheap — the VPU cost is data passes, not op complexity
     (benchmarks/scratch_poly.py). Not merged.
-  * TB=2 batch tiles (two elements per grid step to amortize VPU passes):
-    no win over TB=1 (round-2 measurement, machinery dropped in 949d2f8).
+  * TB=2 batch tiles (two elements per grid step as ONE batched op chain,
+    stacked matmuls): no win over TB=1 (round-2 measurement, machinery
+    dropped in 949d2f8). NOT the same as the shipped tb>1 independent
+    per-element chains (see _fwd_kernel), which DO win: separate chains
+    give the scheduler MXU/VPU overlap; a batched chain is still one
+    serial dependency line.
   * int8 weight matmuls for the frozen teacher (symmetric per-channel
     weights + per-token dynamic activation scales): the s8xs8->s32 MXU
     double-rate mode is not reachable through this stack — a bare s8 dot
@@ -264,23 +268,48 @@ def _weight_arrays(params: Dict[str, Any], dtype) -> Tuple[jax.Array, ...]:
     )
 
 
-def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
+def _fwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, tb):
     w_refs = rest[:len(_W_NAMES)]
     out_refs = rest[len(_W_NAMES):]
     w = {name: r[...] for name, r in zip(_W_NAMES, w_refs)}
     b = pl.program_id(0)
-    x32 = x_ref[0].astype(jnp.float32)
-    out, feat = _block_math_fwd(x32, w, eps, H, x_ref.dtype,
-                                s_attn_ref[b, 0], s_mlp_ref[b, 0],
-                                post_div=True)
-    out_refs[0][0] = out.astype(out_refs[0].dtype)
-    if need_feat:
-        out_refs[1][0] = feat.astype(out_refs[1].dtype)
+    # tb INDEPENDENT per-element chains per grid step (they share only the
+    # weight refs): Mosaic's scheduler overlaps one chain's MXU phase with
+    # another's VPU phase — measured ~max() instead of sum() on a bare
+    # MXU-chain + exp-chain probe, and -8/-9% on this forward at D=192
+    # (benchmarks/scratch_stagger.py). Distinct from the round-2 TB=2
+    # batched-op tiles (one chain over stacked elements — slower, see the
+    # dead-ends list above).
+    for i in range(tb):
+        x32 = x_ref[i].astype(jnp.float32)
+        out, feat = _block_math_fwd(x32, w, eps, H, x_ref.dtype,
+                                    s_attn_ref[b * tb + i, 0],
+                                    s_mlp_ref[b * tb + i, 0],
+                                    post_div=True)
+        out_refs[0][i] = out.astype(out_refs[0].dtype)
+        if need_feat:
+            out_refs[1][i] = feat.astype(out_refs[1].dtype)
 
 
-def _row_spec(n, d):
-    return pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
+def _row_spec(n, d, tb=1):
+    return pl.BlockSpec((tb, n, d), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+# Per-grid-step activation budget for picking the chain count: the measured
+# optima (fwd/bwd D=192 N=198 -> 4, bwd D=384 -> 2, fwd teacher -> 2~4,
+# anything at N=578 -> 1) are all reproduced by one ~9 MB live-set cap.
+_TB_BUDGET_BYTES = 9 * 2 ** 20
+
+
+def _pick_tb(B, N, D, *, bwd):
+    # rough fp32 live set per element: ~8.5 D-wide rows + one [N, N] score
+    # forward; backward adds grad mirrors and the per-head (e, 1/S) stash.
+    elem = 4 * N * ((12 * D + 2 * N) if bwd else (8.5 * D + N))
+    for tb in (4, 2):
+        if B % tb == 0 and tb * elem <= _TB_BUDGET_BYTES:
+            return tb
+    return 1
 
 
 def _w_specs(ws):
@@ -297,17 +326,19 @@ def _scale_spec(B):
 def _fused_block_fwd_call(x, s_attn, s_mlp, ws, *, eps, H, need_feat):
     """Local (per-shard) fused forward. Returns (out, feat) or a bare out."""
     B, N, D = x.shape
+    tb = _pick_tb(B, N, D, bwd=False)
     out_shape = [jax.ShapeDtypeStruct((B, N, D), x.dtype)]
-    out_specs = [_row_spec(N, D)]
+    out_specs = [_row_spec(N, D, tb)]
     if need_feat:
         out_shape.append(jax.ShapeDtypeStruct((B, N, D), x.dtype))
-        out_specs.append(_row_spec(N, D))
+        out_specs.append(_row_spec(N, D, tb))
     # qkv 6ND² + proj 2ND² + mlp 16ND² + attention 4N²D (matmul FLOPs)
     flops_elem = 24 * N * D * D + 4 * N * N * D
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat),
-        grid=(B,),
-        in_specs=[_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
+        functools.partial(_fwd_kernel, eps=eps, H=H, need_feat=need_feat,
+                          tb=tb),
+        grid=(B // tb,),
+        in_specs=[_row_spec(N, D, tb), _scale_spec(B), _scale_spec(B)]
         + _w_specs(ws),
         out_specs=tuple(out_specs) if need_feat else out_specs[0],
         out_shape=tuple(out_shape) if need_feat else out_shape[0],
@@ -390,7 +421,7 @@ def _attention_bwd_one(qkv, dmerged, es, rss, D, H, hd, scale, dtype):
     return jnp.concatenate(dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)
 
 
-def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
+def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, tb):
     n_w = len(_W_NAMES)
     w_refs = rest[:n_w]
     if need_feat:
@@ -409,11 +440,36 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     hd = D // H
     scale = hd ** -0.5
     b = pl.program_id(0)
-    s_attn = s_attn_ref[b, 0]
-    s_mlp = s_mlp_ref[b, 0]
 
+    # tb independent recompute+backprop chains (see _fwd_kernel note);
+    # their weight-grad tiles are summed, then accumulated across the
+    # sequential grid. Measured -10.6% at D=192 / -10% at D=384
+    # (benchmarks/scratch_stagger.py bwd).
+    acc = None
+    for i in range(tb):
+        tiles = _bwd_one_chain(
+            x_ref[i].astype(jnp.float32), g_out_ref, g_feat_ref, dx_ref, w,
+            s_attn_ref[b * tb + i, 0], s_mlp_ref[b * tb + i, 0],
+            i, eps, H, N, D, hd, scale, dtype, need_feat)
+        acc = tiles if acc is None else tuple(a + t
+                                              for a, t in zip(acc, tiles))
+
+    @pl.when(b == 0)
+    def _():
+        for r, t in zip(dw_refs, acc):
+            r[...] = t
+
+    @pl.when(b > 0)
+    def _():
+        for r, t in zip(dw_refs, acc):
+            r[...] += t
+
+
+def _bwd_one_chain(x32, g_out_ref, g_feat_ref, dx_ref, w, s_attn, s_mlp,
+                   i, eps, H, N, D, hd, scale, dtype, need_feat):
+    """One element's recompute-forward + reverse sweep; writes dx_ref[i] and
+    returns this element's weight-grad tiles."""
     # ---- recompute forward, keeping what the backward needs
-    x32 = x_ref[0].astype(jnp.float32)
     y, xhat1, rstd1 = _ln_fwd(x32, w["g1"], w["b1"], eps)
     y_lp = y.astype(dtype)
     qkv = jax.lax.dot_general(y_lp, w["wqkv"], (((1,), (0,)), ((), ())),
@@ -431,10 +487,10 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     h_lp = h.astype(dtype)
 
     # ---- backward
-    g_out = g_out_ref[0].astype(jnp.float32)
+    g_out = g_out_ref[i].astype(jnp.float32)
     g_feat = g_out * s_mlp
     if need_feat:
-        g_feat = g_feat + g_feat_ref[0].astype(jnp.float32)
+        g_feat = g_feat + g_feat_ref[i].astype(jnp.float32)
     g_feat_lp = g_feat.astype(dtype)
 
     # MLP: feat = h @ w2 + bf2
@@ -479,20 +535,10 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat):
     dg1 = jnp.sum(dg1_rows, axis=0, keepdims=True)
     db1 = jnp.sum(db1_rows, axis=0, keepdims=True)
 
-    dx_ref[0] = (dx2 + dx_ln).astype(dx_ref.dtype)
+    dx_ref[i] = (dx2 + dx_ln).astype(dx_ref.dtype)
 
-    tiles = (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
-             dw1, dbf1, dw2, dbf2)
-
-    @pl.when(b == 0)
-    def _():
-        for r, t in zip(dw_refs, tiles):
-            r[...] = t
-
-    @pl.when(b > 0)
-    def _():
-        for r, t in zip(dw_refs, tiles):
-            r[...] += t
+    return (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
+            dw1, dbf1, dw2, dbf2)
 
 
 def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
@@ -500,15 +546,17 @@ def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):
     the dws are this shard's PARTIAL sums — the caller psums over any batch
     sharding axes."""
     B, N, D = x.shape
+    tb = _pick_tb(B, N, D, bwd=True)
     need_feat = g_feat is not None
     g_in = [g_out] + ([g_feat] if need_feat else [])
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat),
-        grid=(B,),
-        in_specs=([_row_spec(N, D), _scale_spec(B), _scale_spec(B)]
-                  + _w_specs(ws) + [_row_spec(N, D)] * len(g_in)),
-        out_specs=tuple([_row_spec(N, D)] + _w_specs(ws)),
+        functools.partial(_bwd_kernel, eps=eps, H=H, need_feat=need_feat,
+                          tb=tb),
+        grid=(B // tb,),
+        in_specs=([_row_spec(N, D, tb), _scale_spec(B), _scale_spec(B)]
+                  + _w_specs(ws) + [_row_spec(N, D, tb)] * len(g_in)),
+        out_specs=tuple([_row_spec(N, D, tb)] + _w_specs(ws)),
         out_shape=tuple([jax.ShapeDtypeStruct((B, N, D), x.dtype)] + dw_shapes),
         cost_estimate=pl.CostEstimate(
             flops=3 * B * (24 * N * D * D + 4 * N * N * D),
