@@ -103,7 +103,7 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
     n_chips = len(jax.devices())
     per_chip = img_per_sec / n_chips
 
-    e2e_rate = e2e_tf_rate = None
+    e2e_rate = e2e_tf_rate = h2d_cap = loader_pil = loader_tf = None
     if e2e:
         try:
             e2e_rate = e2e_images_per_sec(step, state, t_params, key)
@@ -114,6 +114,15 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
                                              loader_kind="tfdata")
         except Exception as exc:
             print(f"[bench] e2e tfdata benchmark failed: {exc}")
+        try:
+            h2d_cap = h2d_cap_images_per_sec()
+        except Exception as exc:
+            print(f"[bench] h2d cap benchmark failed: {exc}")
+        try:
+            loader_pil = loader_only_images_per_sec("pil")
+            loader_tf = loader_only_images_per_sec("tfdata")
+        except Exception as exc:
+            print(f"[bench] loader-only benchmark failed: {exc}")
 
     gflops_per_img = kd_step_gflops_per_image()
     tflops = per_chip * gflops_per_img / 1e3
@@ -126,10 +135,19 @@ def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
         # loader-driven numbers: real FolderSource JPEG decode + host batching
         # + H2D at the recipe batch 256, synthetic image files, on this host's
         # single shared CPU core — pil = thread-pool PIL decode, tfdata = the
-        # engineered tf.data C++ pipeline (--data-loader tfdata)
+        # engineered tf.data C++ pipeline (--data-loader tfdata). On THIS host
+        # both are capped by the axon tunnel's H2D bandwidth (~20-60 MB/s =
+        # h2d_tunnel_cap below), not by the loaders: the loader_only_* drains
+        # show the framework's actual host-pipeline rates on this 1-vCPU box.
         "e2e_loader_img_per_sec": None if e2e_rate is None else round(e2e_rate, 1),
         "e2e_tfdata_img_per_sec": (None if e2e_tf_rate is None
                                    else round(e2e_tf_rate, 1)),
+        "h2d_tunnel_cap_img_per_sec": (None if h2d_cap is None
+                                       else round(h2d_cap, 1)),
+        "loader_only_pil_img_per_sec": (None if loader_pil is None
+                                        else round(loader_pil, 1)),
+        "loader_only_tfdata_img_per_sec": (None if loader_tf is None
+                                           else round(loader_tf, 1)),
         "model_tflops_per_sec": round(tflops, 1),
         "mfu": None if peak is None else round(tflops / peak, 3),
     }))
@@ -181,6 +199,56 @@ def _synthetic_imagefolder(root: str, classes: int = 64,
     with open(done, "w") as f:
         f.write("ok")
     return root
+
+
+def h2d_cap_images_per_sec(batch_size: int = 256, hw: int = 256,
+                           trials: int = 3) -> float:
+    """Host→device transfer ceiling for one raw uint8 batch. On this dev box
+    the TPU sits behind the axon tunnel at ~20-60 MB/s, so any loader-driven
+    step is capped here (~100-300 img/s at batch 256 / 256px) no matter how
+    fast the host pipeline decodes; on a real TPU VM this is PCIe/DMA at
+    GB/s and the loader_only_* rates become the binding host-side numbers."""
+    batch = np.random.RandomState(0).randint(
+        0, 255, (batch_size, hw, hw, 3), np.uint8)
+    x = jnp.asarray(batch)
+    float(x[0, 0, 0, 0])  # warm the transfer + fetch path
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        x = jnp.asarray(batch)
+        float(x[0, 0, 0, 0])
+        best = max(best, batch_size / (time.perf_counter() - t0))
+    return best
+
+
+def loader_only_images_per_sec(loader_kind: str, batch_size: int = 256,
+                               max_steps: int = 8) -> float:
+    """Drain rate of the host input pipeline alone (JPEG decode + raw-canvas
+    standardization + batching), no device in the loop — the framework-owned
+    part of e2e input. Single shared CPU core on this host; scales with
+    cores on production TPU VMs."""
+    import tempfile
+
+    from deltakd_tpu.data.pipeline import Loader
+    from deltakd_tpu.data.sources import FolderSource
+
+    root = _synthetic_imagefolder(
+        os.path.join(tempfile.gettempdir(), "deltakd_bench_imagefolder"))
+    source = FolderSource(root, raw_size=256, num_workers=16)
+    if loader_kind == "tfdata":
+        from deltakd_tpu.data.tfdata import TFDataLoader
+        loader = TFDataLoader(source, batch_size=batch_size, is_train=True)
+    else:
+        loader = Loader(source, batch_size=batch_size, is_train=True)
+    it = loader.epoch(0)
+    next(it)  # warmup: thread-pool spin-up / tf.data buffer fill
+    n = 0
+    t0 = time.perf_counter()
+    for _ in it:
+        n += 1
+        if n >= max_steps:
+            break
+    return batch_size * n / (time.perf_counter() - t0)
 
 
 def e2e_images_per_sec(step, state, t_params, key, batch_size: int = 256,
