@@ -28,13 +28,16 @@ import numpy as np
 A100_DDP_ESTIMATE_IMG_PER_SEC = 1800.0
 
 
-def main(batch_size: int = 192, steps: int = 40, warmup: int = 3,
+def main(batch_size: int = 448, steps: int = 40, warmup: int = 3,
          distillation_type: str = "soft", e2e: bool = True):
     """Per-chip batch is nearly free with the fused block kernel + subset-
-    gated augmentation (round-2 scan: 96→3461, 128→3507, 192→3543, 256→3523
-    img/s; round 1 peaked at batch 48 with 2353); the global batch of a
-    recipe comes from the data-parallel axis, so per-chip batch is a free
-    throughput knob."""
+    gated augmentation, and with the round-3 tb-chain kernel it keeps
+    climbing gently to a plateau (round-3 scan: 128→3912, 192→3920-3940,
+    224→3997, 256→3990, 320→4057-4072, 384→4077-4088, 448→4127, 512→4115
+    img/s; round 2 was flat ~3500 over 96-256, round 1 peaked at batch 48
+    with 2353); the global batch of a recipe comes from the data-parallel
+    axis and --grad-accum-steps, so per-chip batch is a free throughput
+    knob — 448 is the scanned optimum."""
     jax.config.update("jax_default_prng_impl", "rbg")
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.data.augment import AugmentConfig

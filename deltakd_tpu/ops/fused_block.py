@@ -296,18 +296,24 @@ def _row_spec(n, d, tb=1):
                         memory_space=pltpu.VMEM)
 
 
-# Per-grid-step activation budget for picking the chain count: the measured
-# optima (fwd/bwd D=192 N=198 -> 4, bwd D=384 -> 2, fwd teacher -> 2~4,
-# anything at N=578 -> 1) are all reproduced by one ~9 MB live-set cap.
+# Per-grid-step activation budget for picking the chain count. Measured
+# optima: bwd D=192 N=198 -> 4, bwd D=384 -> 2, anything at N=578 -> 1 —
+# all reproduced by a ~9 MB live-set cap. For 224px FORWARDS a deeper queue
+# wins a little more (student D=192 -> tb=8, teacher D=384 -> tb=4: +0.4%
+# full-model, reproducible across interleaved rounds — benchmarks/
+# scratch_tb8.py), so forwards at N<=256 get a 16 MB cap; N=578 keeps the
+# 9 MB cap (tb=2 there was measured slower in the round-2 tile scan).
 _TB_BUDGET_BYTES = 9 * 2 ** 20
+_TB_FWD_BUDGET_BYTES = 16 * 2 ** 20
 
 
 def _pick_tb(B, N, D, *, bwd):
     # rough fp32 live set per element: ~8.5 D-wide rows + one [N, N] score
     # forward; backward adds grad mirrors and the per-head (e, 1/S) stash.
     elem = 4 * N * ((12 * D + 2 * N) if bwd else (8.5 * D + N))
-    for tb in (4, 2):
-        if B % tb == 0 and tb * elem <= _TB_BUDGET_BYTES:
+    budget = _TB_BUDGET_BYTES if (bwd or N > 256) else _TB_FWD_BUDGET_BYTES
+    for tb in (8, 4, 2):
+        if B % tb == 0 and tb * elem <= budget:
             return tb
     return 1
 
