@@ -162,6 +162,17 @@ def bitonic_sort_pallas(x: jax.Array, axis: int = -2) -> jax.Array:
 #         the small-stride (j<8) sublane compare-exchange stages starve
 #         the VPU, while XLA fuses each stage to ~2 full-width vector ops.
 #         Kept opt-in (DELTAKD_SL1_PALLAS=1) as the measured record.
+#       * rank-counting backward (benchmarks/scratch_rank_grad*.py): the
+#         gradient needs NO sort at all — g_i = [r<u_lt]+[r<u_le]-1 with
+#         r/u = O(N^2) comparison-count reductions (stable ranks; exactly
+#         torch.sort's index-scatter semantics, verified vs a stable-sort
+#         scatter incl. bf16 ties). Best fused broadcast-compare variant:
+#         7.2 ms at [128,196,384] vs the 7.0 ms autodiff select replay —
+#         the N^2 compares sit AT the VPU roofline (~8 ops/pair), so a
+#         custom VJP (1.8 ms value-net fwd + 7.2 bwd) is a wash with
+#         autodiff (8.85 ms total). Dropping the t-tie zero band (sign(0)
+#         := -1, still a valid |.| subgradient) reaches 5.84 ms but
+#         deviates from torch on ~1% of bf16 elements — rejected.
 #   - batch chunking: [32, ...] network calls run ~13% faster per element
 #     than [128, ...] (a working-set cliff), so sorted_l1 splits the batch
 #     into <=32-row chunks; the means recombine exactly.
