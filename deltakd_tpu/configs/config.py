@@ -157,18 +157,13 @@ class TrainConfig:
         tools/train.py:54-93,156-197) that this rebuild does not implement;
         failing loudly beats silently training a different recipe.
         """
-        if self.lr_noise is not None:
+        if self.remode not in ("pixel", "const"):
             raise NotImplementedError(
-                "--lr-noise is not implemented (timm scheduler noise, "
-                "reference train.py:71-77); unset it")
-        if self.remode != "pixel":
-            raise NotImplementedError(
-                f"--remode '{self.remode}' is not implemented (only 'pixel', "
-                f"the reference default, reference train.py:173)")
-        if self.recount != 1:
-            raise NotImplementedError(
-                "--recount != 1 is not implemented (reference default is 1, "
-                "reference train.py:175)")
+                f"--remode '{self.remode}' is not implemented ('pixel' and "
+                f"'const' are, timm RandomErasing surface, reference "
+                f"train.py:173; 'rand' per-region constants are not)")
+        if self.recount < 1:
+            raise ValueError("--recount must be >= 1 (reference train.py:175)")
         if self.resplit:
             raise NotImplementedError(
                 "--resplit is not implemented (reference default is off, "

@@ -27,11 +27,14 @@ Performance architecture (what makes this TPU-fast):
 Op semantics follow PIL/timm (posterize bit masks, solarize thresholds,
 PIL-style equalize LUT, blend-based color/contrast/brightness/sharpness;
 the ``rand-m9-mstd0.5-inc1`` increasing-severity magnitude mappings).
-Known deviations, accepted for the single-warp design and documented here:
+The crop/resize resample honors ``--interpolation bilinear|bicubic|random``
+with PIL-golden bicubic semantics (4-tap a=-0.5 kernel, downscale antialias
+stretch, inter-pass uint8 quantization — tests/test_data.py). Known
+deviations, accepted for the single-warp design and documented here:
 geometric RA ops are composed with the crop instead of resampling the cropped
-image (sub-pixel differences), resampling is bilinear (PIL mixes per-op
-defaults), and when one image draws two pixel ops they apply in op-table
-order rather than draw order.
+image (sub-pixel differences) and resample bilinear regardless of the flag
+(PIL mixes per-op defaults inside RandAugment anyway), and when one image
+draws two pixel ops they apply in op-table order rather than draw order.
 
 Images flow as float32 in [0, 255] until the final normalize.
 """
@@ -147,25 +150,93 @@ def _interp_matrix(coord: jax.Array, in_size: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - grid))
 
 
+def _cubic_weights(d: jax.Array) -> jax.Array:
+    """PIL bicubic kernel (a = -0.5, the Catmull-Rom family member PIL and
+    timm resample with) evaluated at source-pixel distances ``d``."""
+    a = -0.5
+    x = jnp.abs(d)
+    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0          # |x| <= 1
+    far = (((x - 5.0) * x + 8.0) * x - 4.0) * a               # 1 < |x| < 2
+    return jnp.where(x <= 1.0, near, jnp.where(x < 2.0, far, 0.0))
+
+
+def _interp_matrix_cubic(coord: jax.Array, in_size: int,
+                         scale: Optional[jax.Array] = None) -> jax.Array:
+    """[B, out] source sample coords → [B, out, in] PIL-bicubic row weights.
+
+    Matches PIL ``ImagingResampleHorizontal`` semantics (what timm
+    ``create_transform(interpolation='bicubic')`` resamples with, reference
+    dataset/datasets.py:53-64): tap weight ``k((j - c)/ss)`` with
+    ``ss = max(axis_scale, 1)`` — the antialias kernel stretch PIL applies on
+    downscale — and out-of-image taps dropped with the row renormalized.
+    ``coord`` is in index space (integer = pixel center), the same basis as
+    the bilinear triangle above; PIL's continuous centers are ``coord+0.5``
+    so distances are identical.
+    """
+    grid = jnp.arange(in_size, dtype=jnp.float32)
+    if scale is not None:
+        ss = jnp.maximum(jnp.asarray(scale, jnp.float32), 1.0)[..., None, None]
+    else:
+        ss = jnp.float32(1.0)
+    w = _cubic_weights((grid - coord[..., None]) / ss)
+    rowsum = jnp.sum(w, axis=-1, keepdims=True)
+    # a coord far outside the image has an all-zero row; fall back to the
+    # nearest edge pixel (the caller's fill/oob mask overrides these)
+    nearest = jax.nn.one_hot(
+        jnp.clip(jnp.round(coord), 0, in_size - 1).astype(jnp.int32), in_size)
+    return jnp.where(rowsum > 1e-6, w / jnp.maximum(rowsum, 1e-6), nearest)
+
+
+def _row_weights(coord: jax.Array, in_size: int, scale: jax.Array,
+                 method: str, pick: Optional[jax.Array]) -> jax.Array:
+    """Dispatch interpolation rows; ``method='random'`` selects per sample
+    between bilinear and bicubic via ``pick`` (timm's 'random' train
+    interpolation, reference train.py:187-188)."""
+    if method == "bilinear":
+        return _interp_matrix(coord, in_size)
+    wc = _interp_matrix_cubic(coord, in_size, scale)
+    if method == "bicubic":
+        return wc
+    if method != "random":
+        raise NotImplementedError(f"interpolation '{method}' not implemented "
+                                  f"(bilinear, bicubic, random are)")
+    assert pick is not None, "method='random' needs a per-sample pick"
+    return jnp.where(pick[:, None, None], wc, _interp_matrix(coord, in_size))
+
+
 def resample_separable(imgs: jax.Array, mats: jax.Array, out_h: int,
-                       out_w: int, fill: Optional[jax.Array] = None
-                       ) -> jax.Array:
+                       out_w: int, fill: Optional[jax.Array] = None,
+                       method: str = "bilinear",
+                       pick: Optional[jax.Array] = None) -> jax.Array:
     """Axis-aligned batched warp as two matmuls (TPU fast path).
 
     ``mats`` [B,2,3] must have zero off-diagonal linear terms (crop / flip /
     translate compositions do). A gather-based warp of a 32→224 upscale costs
     ~600 ms/batch on v5e because the C=3 lane dim starves the VPU; expressing
-    bilinear interpolation as per-sample [out,in] weight matrices turns the
-    whole resample into two MXU matmuls (~1 ms)."""
+    the interpolation as per-sample [out,in] weight matrices turns the whole
+    resample into two MXU matmuls (~1 ms). ``method`` picks the kernel:
+    'bilinear' (2-tap triangle, no antialias — matches the gather warp),
+    'bicubic' (PIL 4-tap a=-0.5 with PIL's downscale antialias stretch), or
+    'random' (per-sample choice via ``pick``, timm train-interp 'random')."""
     B, H, W, C = imgs.shape
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     sy = mats[:, 0, 0:1] * ys[None, :] + mats[:, 0, 2:3]   # [B, out_h]
     sx = mats[:, 1, 1:2] * xs[None, :] + mats[:, 1, 2:3]   # [B, out_w]
-    ry = _interp_matrix(sy, H)  # [B, out_h, H]
-    rx = _interp_matrix(sx, W)  # [B, out_w, W]
-    t = jnp.einsum("boh,bhwc->bowc", ry, imgs)
-    out = jnp.einsum("bpw,bowc->bopc", rx, t)
+    ry = _row_weights(sy, H, mats[:, 0, 0], method, pick)  # [B, out_h, H]
+    rx = _row_weights(sx, W, mats[:, 1, 1], method, pick)  # [B, out_w, W]
+    if method == "bilinear":
+        t = jnp.einsum("boh,bhwc->bowc", ry, imgs)
+        out = jnp.einsum("bpw,bowc->bopc", rx, t)
+    else:
+        # PIL order + intermediate quantization: PIL's 8-bit resample runs
+        # the horizontal pass first and stores it as clipped/rounded uint8
+        # before the vertical pass — with bicubic overshoot that inter-pass
+        # clip is visible (up to ~19/255 on noise), so emulate it (one
+        # fused elementwise between the two MXU matmuls, no extra traffic)
+        t = jnp.einsum("bpw,bhwc->bhpc", rx, imgs)
+        t = jnp.round(jnp.clip(t, 0.0, 255.0))
+        out = jnp.einsum("boh,bhpc->bopc", ry, t)
     if fill is not None:
         oob_y = (sy < -0.5) | (sy > H - 0.5)
         oob_x = (sx < -0.5) | (sx > W - 0.5)
@@ -698,36 +769,60 @@ def grayscale(img: jax.Array) -> jax.Array:
 
 
 def random_erasing_batch(key: jax.Array, imgs: jax.Array, prob: float,
-                         scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)) -> jax.Array:
-    """timm RandomErasing mode='pixel' on the *normalized* batch: one box per
-    image filled with unit-normal noise. Pure elementwise masking."""
+                         scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3),
+                         mode: str = "pixel", max_count: int = 1) -> jax.Array:
+    """timm RandomErasing on the *normalized* batch. Pure elementwise masking.
+
+    timm semantics (reference train.py:173-175 via create_transform →
+    RandomErasing(probability=reprob, mode=remode, max_count=recount)):
+
+    - ``mode='pixel'``: boxes filled with per-pixel unit-normal noise;
+      ``mode='const'``: boxes zeroed (the input is already normalized).
+    - ``max_count > 1``: per image, an erase count is drawn uniformly from
+      ``[1, max_count]`` and each erase samples its own box with target area
+      ``uniform(scale) · H·W / count`` (timm divides the area budget by the
+      drawn count). Vectorized here as ``max_count`` candidate boxes per
+      image with the ones beyond the drawn count masked inactive.
+    """
     B, H, W, C = imgs.shape
-    k_do, k_area, k_ratio, k_top, k_left, k_noise = jax.random.split(key, 6)
+    K = max(1, int(max_count))
+    k_do, k_cnt, k_area, k_ratio, k_top, k_left, k_noise = jax.random.split(key, 7)
     area = H * W
-    target = area * jax.random.uniform(k_area, (B,), minval=scale[0],
-                                       maxval=scale[1])
-    log_ratio = jax.random.uniform(k_ratio, (B,), minval=math.log(ratio[0]),
+    count = jax.random.randint(k_cnt, (B,), 1, K + 1) if K > 1 \
+        else jnp.ones((B,), jnp.int32)
+    target = (area * jax.random.uniform(k_area, (B, K), minval=scale[0],
+                                        maxval=scale[1])
+              / count[:, None].astype(jnp.float32))
+    log_ratio = jax.random.uniform(k_ratio, (B, K), minval=math.log(ratio[0]),
                                    maxval=math.log(ratio[1]))
     aspect = jnp.exp(log_ratio)
     eh = jnp.clip(jnp.round(jnp.sqrt(target * aspect)), 1, H)
     ew = jnp.clip(jnp.round(jnp.sqrt(target / aspect)), 1, W)
-    top = jnp.floor(jax.random.uniform(k_top, (B,)) * (H - eh + 1))
-    left = jnp.floor(jax.random.uniform(k_left, (B,)) * (W - ew + 1))
-    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    box = ((yy >= top[:, None, None]) & (yy < (top + eh)[:, None, None])
-           & (xx >= left[:, None, None]) & (xx < (left + ew)[:, None, None]))
-    # generate at fp32 then cast so the bf16 pixel stage erases with the
-    # same noise values (rounded) as the fp32 path — bit-identical augment
-    # semantics modulo rounding, and the cast fuses into the generator
-    noise = jax.random.normal(k_noise, imgs.shape, jnp.float32).astype(imgs.dtype)
+    top = jnp.floor(jax.random.uniform(k_top, (B, K)) * (H - eh + 1))
+    left = jnp.floor(jax.random.uniform(k_left, (B, K)) * (W - ew + 1))
+    active = jnp.arange(K)[None, :] < count[:, None]
+    yy = jnp.arange(H, dtype=jnp.float32)[None, None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, None, :]
+    boxes = ((yy >= top[:, :, None, None]) & (yy < (top + eh)[:, :, None, None])
+             & (xx >= left[:, :, None, None]) & (xx < (left + ew)[:, :, None, None])
+             & active[:, :, None, None])
+    box = jnp.any(boxes, axis=1)  # union over the K candidate erases
+    if mode == "const":
+        fill = jnp.zeros_like(imgs)
+    else:
+        # generate at fp32 then cast so the bf16 pixel stage erases with the
+        # same noise values (rounded) as the fp32 path — bit-identical augment
+        # semantics modulo rounding, and the cast fuses into the generator
+        fill = jax.random.normal(k_noise, imgs.shape, jnp.float32).astype(imgs.dtype)
     do = jax.random.bernoulli(k_do, prob, (B,))
-    return jnp.where((do[:, None, None] & box)[..., None], noise, imgs)
+    return jnp.where((do[:, None, None] & box)[..., None], fill, imgs)
 
 
 def random_erasing(key: jax.Array, img: jax.Array, prob: float,
-                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)) -> jax.Array:
-    return random_erasing_batch(key, img[None], prob, scale, ratio)[0]
+                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3),
+                   mode: str = "pixel", max_count: int = 1) -> jax.Array:
+    return random_erasing_batch(key, img[None], prob, scale, ratio,
+                                mode=mode, max_count=max_count)[0]
 
 
 # -----------------------------------------------------------------------------
@@ -745,6 +840,9 @@ class AugmentConfig:
     rand_augment: Optional[RandAugmentConfig] = None
     color_jitter: float = 0.0          # active only when rand_augment is None (timm)
     reprob: float = 0.25
+    interpolation: str = "bicubic"     # crop/resize kernel (timm --interpolation)
+    remode: str = "pixel"              # timm RandomErasing fill mode
+    recount: int = 1                   # timm RandomErasing max_count
     three_augment: bool = False        # DeiT-III 3-Augment (reference tools/augment.py)
     src: bool = False                  # simple resize+crop instead of RRC
     small_input_crop: bool = False     # ≤32px: RandomCrop(pad=4) (datasets.py:66-68)
@@ -768,6 +866,8 @@ class AugmentConfig:
             std=tuple(stats["std"]), rand_augment=ra,
             color_jitter=cfg.color_jitter if (ra is None or cfg.ThreeAugment) else 0.0,
             reprob=cfg.reprob if not cfg.ThreeAugment else 0.0,
+            interpolation=cfg.interpolation,
+            remode=cfg.remode, recount=cfg.recount,
             three_augment=cfg.ThreeAugment, src=cfg.src,
             small_input_crop=cfg.input_size <= 32,
             eval_crop_ratio=cfg.eval_crop_ratio,
@@ -799,7 +899,10 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
     B, H, W, _ = images_u8.shape
     S = ac.input_size
     fill = jnp.asarray([round(m * 255) for m in ac.mean], jnp.float32)
-    k_crop, k_flip, k_aug, k_geo, k_erase = jax.random.split(key, 5)
+    k_crop, k_flip, k_aug, k_geo, k_erase, k_interp = jax.random.split(key, 6)
+    # timm interpolation='random': each sample draws bilinear vs bicubic
+    interp_pick = (jax.random.bernoulli(k_interp, 0.5, (B,))
+                   if ac.interpolation == "random" else None)
 
     # 1. crop matrices (RandomResizedCrop | RandomCrop(pad=4) | src resize+crop)
     if ac.small_input_crop or ac.src:
@@ -859,9 +962,11 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             any_geo,
             lambda x: warp_dense_matmul(x, g_src, H, W, fill=fill),
             lambda x: x, imgs_f)
-        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill)
+        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill,
+                                  method=ac.interpolation, pick=interp_pick)
     else:
-        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill)
+        imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill,
+                                  method=ac.interpolation, pick=interp_pick)
         imgs = jax.lax.cond(
             any_geo,
             lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),
@@ -893,7 +998,8 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
 
     imgs = _normalize(imgs, ac)
     if ac.reprob > 0:
-        imgs = random_erasing_batch(k_erase, imgs, ac.reprob)
+        imgs = random_erasing_batch(k_erase, imgs, ac.reprob,
+                                    mode=ac.remode, max_count=ac.recount)
     return imgs
 
 
@@ -914,5 +1020,9 @@ def eval_transform(images_u8: jax.Array, ac: AugmentConfig) -> jax.Array:
         left = (new_w - S) / 2.0 * scale
         mat = crop_matrix(jnp.float32(top), jnp.float32(left),
                           jnp.float32(S * scale), jnp.float32(S * scale), S, S)
-        img = resample_separable(img, jnp.broadcast_to(mat, (B, 2, 3)), S, S)
+        # the reference eval resize is always bicubic (datasets.py:75
+        # interpolation=3, regardless of --interpolation); clip the cubic
+        # overshoot like PIL's uint8 rounding does
+        img = _clip(resample_separable(img, jnp.broadcast_to(mat, (B, 2, 3)),
+                                       S, S, method="bicubic"))
     return _normalize(img, ac)

@@ -179,6 +179,45 @@ def get_lr_scale(opt_state) -> Optional[float]:
     return found[0] if found else None
 
 
+def lr_noise_multiplier(cfg, epoch: int) -> float:
+    """timm scheduler LR noise: the multiplier in effect for ``epoch``.
+
+    timm semantics (reference tools/train.py:71-77 via timm
+    ``create_scheduler`` → ``Scheduler._add_noise``):
+
+    - ``--lr-noise pct [pct]`` gives epoch *fractions*; create_scheduler
+      multiplies them by ``epochs`` to form the active range — one value
+      means "from that epoch on", two mean ``[lo, hi)``.
+    - Inside the range, the per-epoch noise is ``torch.randn`` from a fresh
+      ``torch.Generator`` seeded ``seed + epoch``, rejection-sampled until
+      ``|noise| < lr_noise_pct``; the group LRs become ``lr * (1 + noise)``.
+    - timm stores ``noise_std`` but its 'normal' path never multiplies by
+      it (a long-standing upstream quirk); we accept the flag and match
+      that behavior rather than "fixing" it into a different recipe.
+
+    Host-side (one scalar per epoch) — applied through the same
+    :class:`LRScaleState` multiplier the plateau controller drives, composed
+    multiplicatively with the plateau scale in the run() epoch loop.
+    """
+    if not cfg.lr_noise:
+        return 1.0
+    bounds = [float(v) * cfg.epochs for v in cfg.lr_noise]
+    if len(bounds) >= 2:
+        active = bounds[0] <= epoch < bounds[1]
+    else:
+        active = epoch >= bounds[0]
+    if not active:
+        return 1.0
+    import torch  # host-only; torch CPU is the reference RNG ground truth
+
+    g = torch.Generator()
+    g.manual_seed(cfg.seed + epoch)
+    while True:
+        noise = torch.randn(1, generator=g).item()
+        if abs(noise) < cfg.lr_noise_pct:
+            return 1.0 + noise
+
+
 class PlateauController:
     """Host-side torch ``ReduceLROnPlateau`` semantics (what timm's
     PlateauLRScheduler wraps, reference tools/train.py:54-93): when the val
@@ -295,7 +334,9 @@ def make_optimizer(cfg, params, steps_per_epoch: int,
             sched, b1=betas[0], b2=betas[1], eps=cfg.opt_eps,
             weight_decay=cfg.weight_decay, params=params,
             clip_norm=cfg.clip_grad)
-        return with_lr_scale(tx) if cfg.sched == "plateau" else tx
+        if cfg.sched == "plateau" or cfg.lr_noise:
+            tx = with_lr_scale(tx)
+        return tx
     chain = []
     if cfg.clip_grad is not None:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
@@ -313,6 +354,6 @@ def make_optimizer(cfg, params, steps_per_epoch: int,
     else:
         raise NotImplementedError(f"optimizer '{cfg.opt}' not implemented")
     tx = optax.chain(*chain)
-    if cfg.sched == "plateau":
+    if cfg.sched == "plateau" or cfg.lr_noise:
         tx = with_lr_scale(tx)
     return tx

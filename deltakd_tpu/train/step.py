@@ -39,9 +39,16 @@ def topk_correct(logits: jax.Array, labels: jax.Array, k: int) -> jax.Array:
 
 def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
                      aug: AugmentConfig, mixup: Optional[MixupConfig], tx,
-                     donate: bool = True) -> Callable:
+                     donate: bool = True, batch_shard=None) -> Callable:
     """Returns jitted ``step(state, teacher_params, images_u8, labels, key,
-    epoch) -> (state, metrics)``."""
+    epoch) -> (state, metrics)``.
+
+    ``batch_shard`` (a NamedSharding over the data axis) pins the grad-accum
+    micro-batch layout: the [accum·mb] → [accum, mb] reshape otherwise lets
+    GSPMD propose a superdim-split tiling for the scanned operands that the
+    custom_partitioning importer cannot parse (explode_superdims assert) when
+    the fused block kernel sits inside the scan.
+    """
     needs_teacher = kd.distillation_type != "none"
     needs_features = kd.distillation_type in FEATURE_TYPES
     distilled_training = (kd.distillation_type in LOGIT_TYPES
@@ -105,6 +112,13 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
             mb = images_u8.shape[0] // accum
             imgs_m = images_u8.reshape(accum, mb, *images_u8.shape[1:])
             labels_m = labels.reshape(accum, mb)
+            if batch_shard is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                micro = NamedSharding(
+                    batch_shard.mesh,
+                    PartitionSpec(None, *batch_shard.spec))
+                imgs_m = jax.lax.with_sharding_constraint(imgs_m, micro)
+                labels_m = jax.lax.with_sharding_constraint(labels_m, micro)
 
             def body(carry, xs):
                 i, im, lb = xs
@@ -115,9 +129,14 @@ def build_train_step(*, cfg, kd: KDSettings, student_module, teacher_module,
                         jax.tree.map(jnp.add, m_acc, m)), None
 
             zeros_g = jax.tree.map(jnp.zeros_like, state.params)
-            zeros_m = {k: jnp.zeros((), jnp.float32) for k in
-                       ("train_loss", "train_acc1", "train_acc5", "base_loss",
-                        "distill_loss")}
+            # derive the metrics carry structure from micro_grads itself
+            # (eval_shape = trace only, no FLOPs) so a loss that adds a
+            # metrics key cannot desync the scan carry (round-3 verdict W7)
+            _, m_shapes = jax.eval_shape(
+                micro_grads, state.params, teacher_params, key,
+                imgs_m[0], labels_m[0], epoch)
+            zeros_m = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), m_shapes)
             (g_sum, m_sum), _ = jax.lax.scan(
                 body, (zeros_g, zeros_m),
                 (jnp.arange(accum), imgs_m, labels_m))

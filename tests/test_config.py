@@ -47,13 +47,13 @@ def test_unhonored_flags_fail_loudly():
     """Flags the reference's timm surface honors but we do not implement must
     raise instead of silently changing the recipe (reference train.py:54-197)."""
     with pytest.raises(NotImplementedError):
-        parse_args(["--lr-noise", "0.4", "0.8"])
-    with pytest.raises(NotImplementedError):
-        parse_args(["--remode", "const"])
-    with pytest.raises(NotImplementedError):
-        parse_args(["--recount", "3"])
+        parse_args(["--remode", "rand"])
     with pytest.raises(NotImplementedError):
         parse_args(["--resplit"])
+    # implemented variants parse cleanly (round-4: lr-noise, const, recount)
+    assert parse_args(["--lr-noise", "0.4", "0.8"]).lr_noise == (0.4, 0.8)
+    assert parse_args(["--remode", "const"]).remode == "const"
+    assert parse_args(["--recount", "3"]).recount == 3
     # defaults stay valid
     parse_args([])
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 from PIL import Image, ImageOps
 
+import dataclasses
+
 from deltakd_tpu.data import augment as A
 from deltakd_tpu.data.mixup import MixupConfig, apply_mixup, one_hot_smoothed
 from deltakd_tpu.data.pipeline import Loader
@@ -500,3 +502,168 @@ def test_from_config_gates_subset_ops_on_data_sharded_mesh():
     ac_tp = A.AugmentConfig.from_config(
         type("C", (), dict(base, mesh_shape=(1, 8))))
     assert ac_tp.subset_ops  # model-only sharding: batch stays whole
+
+
+# ---------------------------------------------------------------------------
+# RandomErasing (timm semantics: modes + recount)
+# ---------------------------------------------------------------------------
+
+
+def test_random_erasing_const_mode_zeroes_boxes():
+    """mode='const' fills the erase box with 0 (the normalized-space erase
+    value, timm RandomErasing mode='const'); everything outside is intact."""
+    imgs = jnp.ones((4, 32, 32, 3), jnp.float32) * 3.25
+    out = A.random_erasing_batch(jax.random.PRNGKey(0), imgs, prob=1.0,
+                                 mode="const")
+    out = np.asarray(out)
+    changed = ~np.isclose(out, 3.25)
+    assert changed.any(), "prob=1.0 must erase at least one image"
+    assert np.all(out[changed] == 0.0)
+    # erased region is a solid axis-aligned rectangle per image
+    for b in range(4):
+        mask = changed[b, :, :, 0]
+        if not mask.any():
+            continue
+        rows = np.where(mask.any(axis=1))[0]
+        cols = np.where(mask.any(axis=0))[0]
+        rect = np.zeros_like(mask)
+        rect[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1] = True
+        np.testing.assert_array_equal(mask, rect)
+
+
+def test_random_erasing_pixel_mode_fills_noise():
+    imgs = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    out = np.asarray(A.random_erasing_batch(
+        jax.random.PRNGKey(1), imgs, prob=1.0, mode="pixel"))
+    changed = out != 0.0
+    assert changed.any()
+    vals = out[changed]
+    # unit-normal fill, not a constant
+    assert vals.std() > 0.5 and abs(vals.mean()) < 0.5
+
+
+def test_random_erasing_recount_multiple_boxes():
+    """max_count=4 draws count ~ U[1,4] boxes per image with the area budget
+    split across them (timm: target_area = U(scale)*H*W/count). With prob=1
+    over many images, some image must show >1 disjoint erase region."""
+    imgs = jnp.ones((32, 48, 48, 3), jnp.float32)
+    out = np.asarray(A.random_erasing_batch(
+        jax.random.PRNGKey(2), imgs, prob=1.0, mode="const", max_count=4))
+
+    def n_components(mask):
+        # simple 4-connectivity flood count on a tiny grid
+        seen = np.zeros_like(mask, bool)
+        n = 0
+        for i in range(mask.shape[0]):
+            for j in range(mask.shape[1]):
+                if mask[i, j] and not seen[i, j]:
+                    n += 1
+                    stack = [(i, j)]
+                    while stack:
+                        y, x = stack.pop()
+                        if (0 <= y < mask.shape[0] and 0 <= x < mask.shape[1]
+                                and mask[y, x] and not seen[y, x]):
+                            seen[y, x] = True
+                            stack += [(y+1,x),(y-1,x),(y,x+1),(y,x-1)]
+        return n
+
+    comps = [n_components(out[b, :, :, 0] == 0.0) for b in range(32)]
+    assert max(comps) > 1, f"expected some multi-box erases, got {comps}"
+    # boxes shrink with the count split: no single erase should cover the
+    # whole max_area budget when count > 1 images exist
+    frac = [(out[b, :, :, 0] == 0.0).mean() for b in range(32)]
+    assert max(frac) <= 4 * (1 / 3) + 0.05
+
+
+def test_random_erasing_recount1_matches_default_path():
+    imgs = jnp.ones((4, 32, 32, 3), jnp.float32)
+    a = A.random_erasing_batch(jax.random.PRNGKey(3), imgs, prob=0.5)
+    b = A.random_erasing_batch(jax.random.PRNGKey(3), imgs, prob=0.5,
+                               max_count=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Interpolation kernels vs PIL (--interpolation bicubic, round-4 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _pil_resize(img_u8, size, resample):
+    return np.asarray(Image.fromarray(img_u8).resize((size, size), resample))
+
+
+def test_bicubic_upscale_matches_pil_32_to_224():
+    """The CIFAR recipes upsample 32→224 where the kernel matters most
+    (reference datasets.py:53-64, interpolation='bicubic'). PIL uses 8-bit
+    fixed-point coefficients, so tolerance is ~2/255."""
+    img = _rand_img(0)
+    mat = A.crop_matrix(0.0, 0.0, 32.0, 32.0, 224, 224)
+    ours = A.resample_separable(
+        img[None].astype(np.float32), jnp.broadcast_to(mat, (1, 2, 3)),
+        224, 224, method="bicubic")[0]
+    ours = np.clip(np.asarray(ours), 0, 255)
+    ref = _pil_resize(img, 224, Image.BICUBIC).astype(np.float32)
+    err = np.abs(ours - ref)
+    assert err.max() <= 2.0, f"max err {err.max()}"
+    assert err.mean() < 0.5
+
+
+def test_bicubic_downscale_matches_pil_antialias():
+    """PIL stretches the kernel by the scale factor on downscale (antialias);
+    64→32 exercises that path."""
+    img = _rand_img(1, 64, 64)
+    mat = A.crop_matrix(0.0, 0.0, 64.0, 64.0, 32, 32)
+    ours = A.resample_separable(
+        img[None].astype(np.float32), jnp.broadcast_to(mat, (1, 2, 3)),
+        32, 32, method="bicubic")[0]
+    ours = np.clip(np.asarray(ours), 0, 255)
+    ref = _pil_resize(img, 32, Image.BICUBIC).astype(np.float32)
+    err = np.abs(ours - ref)
+    assert err.max() <= 2.0, f"max err {err.max()}"
+
+
+def test_bilinear_upscale_still_matches_pil():
+    """The legacy 2-tap path is PIL-exact on upscale (no antialias needed)."""
+    img = _rand_img(2)
+    mat = A.crop_matrix(0.0, 0.0, 32.0, 32.0, 224, 224)
+    ours = np.asarray(A.resample_separable(
+        img[None].astype(np.float32), jnp.broadcast_to(mat, (1, 2, 3)),
+        224, 224, method="bilinear")[0])
+    ref = _pil_resize(img, 224, Image.BILINEAR).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 2.0
+
+
+def test_random_interpolation_selects_per_sample():
+    """method='random' picks bilinear or bicubic per sample (timm
+    interpolation='random', reference train.py:187-188)."""
+    imgs = np.stack([_rand_img(i) for i in range(4)]).astype(np.float32)
+    mat = jnp.broadcast_to(A.crop_matrix(0.0, 0.0, 32.0, 32.0, 64, 64), (4, 2, 3))
+    bil = np.asarray(A.resample_separable(imgs, mat, 64, 64, method="bilinear"))
+    cub = np.asarray(A.resample_separable(imgs, mat, 64, 64, method="bicubic"))
+    pick = jnp.asarray([True, False, True, False])
+    mix = np.asarray(A.resample_separable(imgs, mat, 64, 64, method="random",
+                                          pick=pick))
+    # cubic-picked rows go through the same quantized two-pass path → exact;
+    # bilinear-picked rows differ from the pure-bilinear path only by the
+    # PIL inter-pass uint8 rounding (≤1/255 per pass)
+    np.testing.assert_allclose(mix[0], cub[0], atol=1e-4)
+    np.testing.assert_allclose(mix[1], bil[1], atol=1.0)
+    np.testing.assert_allclose(mix[2], cub[2], atol=1e-4)
+    np.testing.assert_allclose(mix[3], bil[3], atol=1.0)
+    assert np.abs(mix[1] - cub[1]).max() > 1.0  # really bilinear, not cubic
+
+
+def test_train_transform_honors_interpolation_flag():
+    """bicubic vs bilinear must actually change the produced pixels (the flag
+    was previously accepted but ignored)."""
+    batch = np.stack([_rand_img(i) for i in range(2)])
+    ac_c = A.AugmentConfig(input_size=64, rand_augment=None, reprob=0.0,
+                           interpolation="bicubic")
+    ac_b = dataclasses.replace(ac_c, interpolation="bilinear")
+    out_c = np.asarray(A.train_transform(jax.random.PRNGKey(0), batch, ac_c))
+    out_b = np.asarray(A.train_transform(jax.random.PRNGKey(0), batch, ac_b))
+    assert out_c.shape == out_b.shape == (2, 64, 64, 3)
+    assert not np.allclose(out_c, out_b)
+    ac_r = dataclasses.replace(ac_c, interpolation="random")
+    out_r = np.asarray(A.train_transform(jax.random.PRNGKey(0), batch, ac_r))
+    assert np.isfinite(out_r).all()

@@ -105,3 +105,29 @@ def test_teacher_checkpoint_import(tmp_path):
     np.testing.assert_allclose(
         np.asarray(teacher.params["blocks_0"]["attn"]["qkv"]["kernel"]),
         tm.blocks[0].attn.qkv.weight.detach().numpy().T, atol=1e-6)
+
+
+def test_val_loader_batch_decoupled_from_grad_accum(tmp_path, monkeypatch):
+    """grad_accum_steps multiplies the loaded TRAIN batch (the step scans it
+    in micro-batches) but must NOT inflate the val loader — eval runs plain
+    forwards, so sizing it by accum compiles eval at the train mega-batch
+    (round-3 verdict W3)."""
+    from deltakd_tpu.data import tfdata
+    from deltakd_tpu.train.loop import run
+
+    seen = {}
+    real_make_loader = tfdata.make_loader
+
+    def spy(cfg, src, *, batch_size, is_train, **kw):
+        seen["train" if is_train else "val"] = batch_size
+        return real_make_loader(cfg, src, batch_size=batch_size,
+                                is_train=is_train, **kw)
+
+    monkeypatch.setattr(tfdata, "make_loader", spy)
+    cfg = _cfg(tmp_path, ["--distillation-type", "mgd",
+                          "--allow-random-teacher"]).replace(grad_accum_steps=4)
+    metrics = run(cfg)
+    assert np.isfinite(metrics["val_loss"])
+    n_shards = jax.device_count()  # data_size on the default 1-axis mesh
+    assert seen["train"] == cfg.batch_size * n_shards * 4
+    assert seen["val"] == cfg.batch_size * n_shards

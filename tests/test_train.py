@@ -441,3 +441,70 @@ def test_same_epoch_resave_never_deletes_the_only_checkpoint(tmp_path):
     save_checkpoint(d, simple_state(3.0), epoch=6, best_acc=0.0, is_best=False)
     dirs = [os.path.basename(p) for p in _committed_state_dirs(d)]
     assert dirs == ["state-5", "state-6"], dirs
+
+
+def test_lr_noise_multiplier_timm_semantics():
+    """--lr-noise follows timm Scheduler._add_noise: active range is the
+    given epoch fractions × epochs, noise is torch.randn from Generator
+    seeded seed+epoch, rejection-sampled to |n| < lr_noise_pct, applied as
+    lr·(1+n) (reference tools/train.py:71-77)."""
+    import torch
+
+    from deltakd_tpu.configs import parse_args
+    from deltakd_tpu.train.optim import lr_noise_multiplier
+
+    cfg = parse_args([
+        "--dataset", "synthetic", "--synthetic-data", "--epochs", "100",
+        "--seed", "42", "--lr-noise", "0.4", "0.8",
+        "--student-model", "deit_tiny_patch16_224",
+        "--teacher-model", "deit_small_distilled_patch16_224"])
+    assert cfg.lr_noise == (0.4, 0.8)
+
+    # outside [40, 80): no noise
+    assert lr_noise_multiplier(cfg, 0) == 1.0
+    assert lr_noise_multiplier(cfg, 39) == 1.0
+    assert lr_noise_multiplier(cfg, 80) == 1.0
+
+    # inside: matches the timm formula exactly (torch RNG ground truth)
+    for epoch in (40, 55, 79):
+        g = torch.Generator()
+        g.manual_seed(cfg.seed + epoch)
+        while True:
+            expected = torch.randn(1, generator=g).item()
+            if abs(expected) < cfg.lr_noise_pct:
+                break
+        got = lr_noise_multiplier(cfg, epoch)
+        assert got == 1.0 + expected
+        assert abs(got - 1.0) < cfg.lr_noise_pct
+        # deterministic per epoch
+        assert lr_noise_multiplier(cfg, epoch) == got
+
+    # single-value form: "from that epoch on"
+    cfg1 = cfg.replace(lr_noise=(0.5,))
+    assert lr_noise_multiplier(cfg1, 49) == 1.0
+    assert lr_noise_multiplier(cfg1, 99) != 1.0
+
+
+def test_lr_noise_rides_lr_scale_in_optimizer():
+    """With --lr-noise the optimizer is wrapped in LRScaleState even for
+    non-plateau schedules, so run() can install the per-epoch multiplier."""
+    import jax
+
+    from deltakd_tpu.configs import parse_args
+    from deltakd_tpu.train.optim import get_lr_scale, make_optimizer, set_lr_scale
+
+    cfg = parse_args([
+        "--dataset", "synthetic", "--synthetic-data", "--epochs", "10",
+        "--sched", "cosine", "--lr-noise", "0.1",
+        "--student-model", "deit_tiny_patch16_224",
+        "--teacher-model", "deit_small_distilled_patch16_224"])
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = make_optimizer(cfg, params, steps_per_epoch=10)
+    st = tx.init(params)
+    assert get_lr_scale(st) == 1.0
+    st = set_lr_scale(st, 1.25)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd_scaled, _ = tx.update(grads, st, params)
+    upd_base, _ = tx.update(grads, set_lr_scale(st, 1.0), params)
+    np.testing.assert_allclose(np.asarray(upd_scaled["w"]),
+                               1.25 * np.asarray(upd_base["w"]), rtol=1e-6)
