@@ -471,11 +471,13 @@ def _bwd_kernel(x_ref, s_attn_ref, s_mlp_ref, *rest, eps, H, need_feat, tb):
             r[...] += t
 
 
-def _bwd_one_chain(x32, g_out_ref, g_feat_ref, dx_ref, w, s_attn, s_mlp,
-                   i, eps, H, N, D, hd, scale, dtype, need_feat):
-    """One element's recompute-forward + reverse sweep; writes dx_ref[i] and
-    returns this element's weight-grad tiles."""
-    # ---- recompute forward, keeping what the backward needs
+def _block_fwd_stash(x32, w, s_attn, eps, H, D, scale, dtype, s_mlp=None):
+    """Recompute one block's forward, keeping every intermediate the reverse
+    sweep needs (all in VMEM/registers — nothing goes to HBM).
+
+    When ``s_mlp`` is given, also computes the block OUTPUT (one extra
+    [N,4D]@[4D,D] matmul) so a multi-block backward can chain stashes;
+    the single-block backward passes None and skips it."""
     y, xhat1, rstd1 = _ln_fwd(x32, w["g1"], w["b1"], eps)
     y_lp = y.astype(dtype)
     qkv = jax.lax.dot_general(y_lp, w["wqkv"], (((1,), (0,)), ((), ())),
@@ -491,12 +493,28 @@ def _bwd_one_chain(x32, g_out_ref, g_feat_ref, dx_ref, w, s_attn, s_mlp,
                                preferred_element_type=jnp.float32) + w["bf1"]
     h, hgrad = _gelu_and_grad(hpre)
     h_lp = h.astype(dtype)
+    out = None
+    if s_mlp is not None:
+        feat = jax.lax.dot_general(h_lp, w["w2"], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) + w["bf2"]
+        out = x2 + s_mlp * feat
+    stash = (y_lp, qkv, att_es, att_rss, merged_lp, xhat1, rstd1,
+             xhat2, rstd2, z_lp, h_lp, hgrad)
+    return out, stash
 
-    # ---- backward
-    g_out = g_out_ref[i].astype(jnp.float32)
+
+def _block_bwd_reverse(stash, w, g_out, g_feat_extra, s_attn, s_mlp,
+                       eps, H, D, hd, scale, dtype):
+    """Reverse sweep of one block from its stash. ``g_out`` is the fp32
+    [N, D] cotangent at the block output; ``g_feat_extra`` an optional extra
+    cotangent injected at the post-MLP pre-residual feature (the KD hook).
+    Returns (dx32, weight-grad tiles)."""
+    (y_lp, qkv, att_es, att_rss, merged_lp, xhat1, rstd1,
+     xhat2, rstd2, z_lp, h_lp, hgrad) = stash
+
     g_feat = g_out * s_mlp
-    if need_feat:
-        g_feat = g_feat + g_feat_ref[i].astype(jnp.float32)
+    if g_feat_extra is not None:
+        g_feat = g_feat + g_feat_extra
     g_feat_lp = g_feat.astype(dtype)
 
     # MLP: feat = h @ w2 + bf2
@@ -541,10 +559,22 @@ def _bwd_one_chain(x32, g_out_ref, g_feat_ref, dx_ref, w, s_attn, s_mlp,
     dg1 = jnp.sum(dg1_rows, axis=0, keepdims=True)
     db1 = jnp.sum(db1_rows, axis=0, keepdims=True)
 
-    dx_ref[i] = (dx2 + dx_ln).astype(dx_ref.dtype)
+    return dx2 + dx_ln, (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
+                         dw1, dbf1, dw2, dbf2)
 
-    return (dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2,
-            dw1, dbf1, dw2, dbf2)
+
+def _bwd_one_chain(x32, g_out_ref, g_feat_ref, dx_ref, w, s_attn, s_mlp,
+                   i, eps, H, N, D, hd, scale, dtype, need_feat):
+    """One element's recompute-forward + reverse sweep; writes dx_ref[i] and
+    returns this element's weight-grad tiles."""
+    _, stash = _block_fwd_stash(x32, w, s_attn, eps, H, D, scale, dtype)
+    g_out = g_out_ref[i].astype(jnp.float32)
+    g_feat_extra = g_feat_ref[i].astype(jnp.float32) if need_feat else None
+    dx32, tiles = _block_bwd_reverse(stash, w, g_out, g_feat_extra,
+                                     s_attn, s_mlp, eps, H, D, hd, scale,
+                                     dtype)
+    dx_ref[i] = dx32.astype(dx_ref.dtype)
+    return tiles
 
 
 def _fused_block_bwd_call(x, s_attn, s_mlp, ws, g_out, g_feat, *, eps, H):

@@ -167,14 +167,19 @@ def set_lr_scale(opt_state, value: float):
     single-device array — unserializable in collective multi-host saves and
     a device-mismatch hazard for the next multi-host jitted step (numpy is
     treated as replicated everywhere, like the checkpoint meta scalars)."""
+    # is_leaf stops descent at LRScaleState nodes but ordinary leaves still
+    # reach the fn — guard with isinstance so trees WITHOUT any scale node
+    # (cosine schedule) pass through untouched.
     return jax.tree.map(
-        lambda s: s._replace(scale=np.asarray(value, np.float32)),
+        lambda s: s._replace(scale=np.asarray(value, np.float32))
+        if _is_lr_scale(s) else s,
         opt_state, is_leaf=_is_lr_scale)
 
 
 def get_lr_scale(opt_state) -> Optional[float]:
     found = []
-    jax.tree.map(lambda s: found.append(float(jax.device_get(s.scale))),
+    jax.tree.map(lambda s: found.append(float(jax.device_get(s.scale)))
+                 if _is_lr_scale(s) else None,
                  opt_state, is_leaf=_is_lr_scale)
     return found[0] if found else None
 

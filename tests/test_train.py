@@ -391,6 +391,28 @@ def test_plateau_controller_matches_torch_reduce_on_plateau():
     assert ours.scale < 1.0  # the trajectory actually decayed
 
 
+def test_lr_scale_helpers_noop_without_scale_state():
+    """get/set_lr_scale on an opt state with NO LRScaleState node (cosine
+    schedule) must pass ordinary array leaves through untouched — is_leaf
+    stops descent at scale nodes but plain leaves still reach the mapped fn
+    (regression: run()'s lr-noise path crashed on cosine configs)."""
+    from deltakd_tpu.train.optim import get_lr_scale, set_lr_scale
+
+    cfg = TrainConfig(lr=1e-3, warmup_lr=1e-3, warmup_epochs=0,
+                      sched="cosine", opt="adamw", clip_grad=None,
+                      weight_decay=0.0, epochs=10)
+    params = {"student": {"w": jnp.ones((4, 4))}, "aux": {}}
+    tx = make_optimizer(cfg, params, steps_per_epoch=10)
+    st = tx.init(params)
+    assert get_lr_scale(st) is None
+    st2 = set_lr_scale(st, 0.5)  # no scale node: identity
+    a = jax.tree.leaves(st)
+    b = jax.tree.leaves(st2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_plateau_optimizer_scale_changes_update_size():
     """--sched plateau: make_optimizer wraps the tx with LRScaleState, and
     set_lr_scale shrinks the applied update by exactly that factor."""
