@@ -12,6 +12,7 @@ the model object.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -42,11 +43,13 @@ def create_model(name: str, *, num_classes: int, img_size: int = 224,
                  attention_fn: Optional[Callable] = None,
                  mlp_fn: Optional[Callable] = None,
                  block_fn: Optional[Callable] = None,
+                 block_pair_fn: Optional[Callable] = None,
                  collect_features: bool = True) -> VisionTransformer:
     cfg = get_model_config(name, num_classes=num_classes, img_size=img_size,
                            drop_path_rate=drop_path_rate)
     return VisionTransformer(cfg, dtype=dtype, attention_fn=attention_fn,
                              mlp_fn=mlp_fn, block_fn=block_fn,
+                             block_pair_fn=block_pair_fn,
                              collect_features=collect_features)
 
 
@@ -76,7 +79,7 @@ def load_teacher_student(config, *, rng: jax.Array,
     # The teacher is forward-only (frozen, reference models.py:70-72), so it
     # can additionally use the fused-MLP inference kernel.
     from deltakd_tpu.kd.losses import feature_indices
-    from deltakd_tpu.ops.fused_block import best_block_fn
+    from deltakd_tpu.ops.fused_block import best_block_fn, best_block_pair_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
     # The fully-fused block kernel carries its own custom_partitioning rule
@@ -92,6 +95,13 @@ def load_teacher_student(config, *, rng: jax.Array,
                   else 1)
     kernels_on = attention_fn is not None
     block_fn = best_block_fn(kernels_on and model_axis == 1)
+    # The student BACKPROPS, so it pairs consecutive blocks into one kernel
+    # (fused pair backward, -10% at D=192 — ops/fused_block.py pair section);
+    # the forward-only teacher keeps single blocks (pair fwd measured
+    # slower). DELTAKD_PAIR=0 forces the single-block student for A/B runs.
+    pair_enabled = (kernels_on and model_axis == 1
+                    and os.environ.get("DELTAKD_PAIR", "1") != "0")
+    block_pair_fn = best_block_pair_fn(pair_enabled)
 
     from deltakd_tpu.models.registry import get_model_config
 
@@ -129,7 +139,7 @@ def load_teacher_student(config, *, rng: jax.Array,
     student_module = create_model(
         config.student_model, num_classes=num_classes, img_size=config.input_size,
         drop_path_rate=config.drop_path_rate, dtype=dtype, attention_fn=attention_fn,
-        block_fn=block_fn,
+        block_fn=block_fn, block_pair_fn=block_pair_fn,
         collect_features=needed_features(config.student_model))
     student_params = init_params(student_module, k_student)
 

@@ -207,11 +207,15 @@ class Block(nn.Module):
     mlp_fn: Optional[Callable] = None
     block_fn: Optional[Callable] = None    # fully-fused block kernel
     collect_features: bool = True          # False skips the feature write in block_fn
+    declare_only: bool = False             # declare params + draw droppath
+    # scales, return (params, s_attn, s_mlp) without computing — the caller
+    # runs a multi-block fused kernel over several blocks' params (the param
+    # tree and RNG draw order stay identical to the compute path)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> Tuple[jax.Array, jax.Array]:
         D = x.shape[-1]
-        if self.block_fn is not None and self.qkv_bias:
+        if (self.block_fn is not None or self.declare_only) and self.qkv_bias:
             # Fully-fused path: declare the identical param tree, draw the
             # droppath branch scales (timm: two independent per-sample masks,
             # one per residual branch), and run the whole block in one kernel.
@@ -230,6 +234,8 @@ class Block(nn.Module):
                 k2 = self.make_rng("droppath")
                 s_attn = jax.random.bernoulli(k1, keep, (B,)).astype(jnp.float32) / keep
                 s_mlp = jax.random.bernoulli(k2, keep, (B,)).astype(jnp.float32) / keep
+            if self.declare_only:
+                return params, s_attn, s_mlp
             return self.block_fn(x, params, num_heads=self.num_heads,
                                  ln_eps=self.ln_eps, scale_attn=s_attn,
                                  scale_mlp=s_mlp,
@@ -263,6 +269,11 @@ class VisionTransformer(nn.Module):
     attention_fn: Optional[Callable] = None
     mlp_fn: Optional[Callable] = None
     block_fn: Optional[Callable] = None    # fully-fused block kernel (TPU)
+    block_pair_fn: Optional[Callable] = None  # two-blocks-per-kernel variant
+    # — wire ONLY into models that backprop (students): the pair backward
+    # removes the mid activation's HBM round trip (-10% fwd+bwd at D=192),
+    # but the pair forward alone is neutral-to-slower, so fwd-only teachers
+    # keep single blocks (ops/fused_block.py pair section).
     collect_features: Any = True           # True/False or frozenset of block
     # indices whose features the KD objective reads (kd.losses.feature_indices)
 
@@ -296,17 +307,43 @@ class VisionTransformer(nn.Module):
         # Stochastic-depth linear ramp across blocks (timm: linspace(0, rate, depth)).
         dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)]
         feats = []
-        for i in range(cfg.depth):
+
+        def _collect(i):
             # collect_features: True/False, or a collection of block indices
             # (kd.losses.feature_indices) — the fused kernel then skips the
             # feature write for blocks no KD objective reads
             cf = self.collect_features
-            collect_i = bool(cf) if isinstance(cf, bool) else i in cf
+            return bool(cf) if isinstance(cf, bool) else i in cf
+
+        pair_on = self.block_pair_fn is not None and cfg.qkv_bias
+        i = 0
+        while i < cfg.depth:
+            if pair_on and i + 1 < cfg.depth:
+                # Two consecutive blocks in ONE kernel. Each Block module
+                # still declares its own params (identical tree + droppath
+                # RNG draws), so checkpoints are pairing-agnostic.
+                p1, sa1, sm1 = Block(
+                    cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, dpr[i],
+                    cfg.ln_eps, self.dtype, declare_only=True,
+                    name=f"blocks_{i}")(x, deterministic=not train)
+                p2, sa2, sm2 = Block(
+                    cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, dpr[i + 1],
+                    cfg.ln_eps, self.dtype, declare_only=True,
+                    name=f"blocks_{i + 1}")(x, deterministic=not train)
+                x, f1, f2 = self.block_pair_fn(
+                    x, p1, p2, num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                    scale_attn1=sa1, scale_mlp1=sm1,
+                    scale_attn2=sa2, scale_mlp2=sm2,
+                    need_features1=_collect(i), need_features2=_collect(i + 1))
+                feats.extend([f1, f2])
+                i += 2
+                continue
             x, mlp_out = Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias,
                                dpr[i], cfg.ln_eps, self.dtype, self.attention_fn,
-                               self.mlp_fn, self.block_fn, collect_i,
+                               self.mlp_fn, self.block_fn, _collect(i),
                                name=f"blocks_{i}")(x, deterministic=not train)
             feats.append(mlp_out)
+            i += 1
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm")(x)
 

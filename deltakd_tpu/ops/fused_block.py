@@ -307,10 +307,16 @@ _TB_BUDGET_BYTES = 9 * 2 ** 20
 _TB_FWD_BUDGET_BYTES = 16 * 2 ** 20
 
 
-def _pick_tb(B, N, D, *, bwd):
+def _pick_tb(B, N, D, *, bwd, pair=False):
     # rough fp32 live set per element: ~8.5 D-wide rows + one [N, N] score
     # forward; backward adds grad mirrors and the per-head (e, 1/S) stash.
+    # A block PAIR holds two blocks' live sets per chain (the pair backward
+    # keeps both stashes in VMEM) — measured optima at N=198: fwd D=192
+    # tb 4, bwd D=192 tb 2, bwd D=384 tb 1, all reproduced by doubling elem
+    # (benchmarks/scratch_twoblock.py).
     elem = 4 * N * ((12 * D + 2 * N) if bwd else (8.5 * D + N))
+    if pair:
+        elem *= 2
     budget = _TB_BUDGET_BYTES if (bwd or N > 256) else _TB_FWD_BUDGET_BYTES
     for tb in (8, 4, 2):
         if B % tb == 0 and tb * elem <= budget:
@@ -851,4 +857,353 @@ def best_block_fn(enabled: bool = True):
     above splits the batch across chips and psums the weight grads."""
     if enabled and use_fused_block():
         return fused_vit_block
+    return None
+
+
+# -----------------------------------------------------------------------------
+# Block-PAIR kernels: two consecutive blocks per grid step.
+#
+# Motivation (round-4 verdict 3a, measured in benchmarks/scratch_twoblock.py,
+# B=256 N=198 round-robin): the pair BACKWARD removes the mid activation's
+# HBM round trip (x-read + g-read + dx-write per block -> once per pair) and
+# halves kernel launches: fwd+bwd -10.1% at D=192 (tb 2), -13.2% at D=384
+# (tb 1). The pair FORWARD alone is neutral at D=192 / SLOWER at D=384
+# (+4-9%: halving the chain count costs more ILP than the saved traffic), so
+# pairing is only wired into models that BACKPROP (the student); fwd-only
+# teachers keep single-block kernels.
+#
+# The pair backward recomputes block1 keeping its stash in VMEM
+# (_block_fwd_stash(s_mlp=...) also produces the mid activation - one extra
+# [N,4D]@[4D,D] matmul per pair vs two single-block backwards), recomputes
+# block2 from mid, then reverses both with _block_bwd_reverse. Per-block
+# KD-hook features stay per-position optional ((nf1, nf2) kernel variants).
+# -----------------------------------------------------------------------------
+
+
+def _pair_fwd_kernel(x_ref, sa1_ref, sm1_ref, sa2_ref, sm2_ref, *rest,
+                     eps, H, nf1, nf2, tb):
+    n_w = len(_W_NAMES)
+    w_refs = rest[:2 * n_w]
+    out_refs = rest[2 * n_w:]
+    w1 = {k: r[...] for k, r in zip(_W_NAMES, w_refs[:n_w])}
+    w2 = {k: r[...] for k, r in zip(_W_NAMES, w_refs[n_w:])}
+    b = pl.program_id(0)
+    for i in range(tb):
+        s = b * tb + i
+        x32 = x_ref[i].astype(jnp.float32)
+        mid, f1 = _block_math_fwd(x32, w1, eps, H, x_ref.dtype,
+                                  sa1_ref[s, 0], sm1_ref[s, 0], post_div=True)
+        out, f2 = _block_math_fwd(mid, w2, eps, H, x_ref.dtype,
+                                  sa2_ref[s, 0], sm2_ref[s, 0], post_div=True)
+        out_refs[0][i] = out.astype(out_refs[0].dtype)
+        k = 1
+        if nf1:
+            out_refs[k][i] = f1.astype(out_refs[k].dtype)
+            k += 1
+        if nf2:
+            out_refs[k][i] = f2.astype(out_refs[k].dtype)
+
+
+def _pair_fwd_call(x, scales, ws1, ws2, *, eps, H, nf1, nf2):
+    B, N, D = x.shape
+    tb = _pick_tb(B, N, D, bwd=False, pair=True)
+    out_shape = [jax.ShapeDtypeStruct((B, N, D), x.dtype)]
+    out_specs = [_row_spec(N, D, tb)]
+    for flag in (nf1, nf2):
+        if flag:
+            out_shape.append(jax.ShapeDtypeStruct((B, N, D), x.dtype))
+            out_specs.append(_row_spec(N, D, tb))
+    flops_elem = 2 * (24 * N * D * D + 4 * N * N * D)
+    return pl.pallas_call(
+        functools.partial(_pair_fwd_kernel, eps=eps, H=H, nf1=nf1, nf2=nf2,
+                          tb=tb),
+        grid=(B // tb,),
+        in_specs=([_row_spec(N, D, tb)] + [_scale_spec(B)] * 4
+                  + _w_specs(ws1) + _w_specs(ws2)),
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops_elem,
+            bytes_accessed=2 * B * N * D * x.dtype.itemsize
+            * (1 + 1 + int(nf1) + int(nf2)),
+            transcendentals=B * N * D * 10),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, *scales, *ws1, *ws2)
+
+
+def _pair_bwd_kernel(x_ref, sa1_ref, sm1_ref, sa2_ref, sm2_ref, *rest,
+                     eps, H, nf1, nf2, tb):
+    n_w = len(_W_NAMES)
+    w_refs = rest[:2 * n_w]
+    pos = 2 * n_w
+    g_out_ref = rest[pos]
+    pos += 1
+    g_f1_ref = g_f2_ref = None
+    if nf1:
+        g_f1_ref = rest[pos]
+        pos += 1
+    if nf2:
+        g_f2_ref = rest[pos]
+        pos += 1
+    dx_ref = rest[pos]
+    dw_refs = rest[pos + 1:]
+
+    w1 = {k: r[...] for k, r in zip(_W_NAMES, w_refs[:n_w])}
+    w2 = {k: r[...] for k, r in zip(_W_NAMES, w_refs[n_w:])}
+    dtype = x_ref.dtype
+    _, N, D = x_ref.shape
+    hd = D // H
+    scale = hd ** -0.5
+    b = pl.program_id(0)
+
+    acc = None
+    for i in range(tb):
+        s = b * tb + i
+        x32 = x_ref[i].astype(jnp.float32)
+        mid, stash1 = _block_fwd_stash(x32, w1, sa1_ref[s, 0], eps, H, D,
+                                       scale, dtype, s_mlp=sm1_ref[s, 0])
+        _, stash2 = _block_fwd_stash(mid, w2, sa2_ref[s, 0], eps, H, D,
+                                     scale, dtype)
+        g_out = g_out_ref[i].astype(jnp.float32)
+        gf2 = g_f2_ref[i].astype(jnp.float32) if nf2 else None
+        dmid, t2 = _block_bwd_reverse(stash2, w2, g_out, gf2, sa2_ref[s, 0],
+                                      sm2_ref[s, 0], eps, H, D, hd, scale,
+                                      dtype)
+        gf1 = g_f1_ref[i].astype(jnp.float32) if nf1 else None
+        dx, t1 = _block_bwd_reverse(stash1, w1, dmid, gf1, sa1_ref[s, 0],
+                                    sm1_ref[s, 0], eps, H, D, hd, scale,
+                                    dtype)
+        dx_ref[i] = dx.astype(dx_ref.dtype)
+        tiles = t1 + t2
+        acc = tiles if acc is None else tuple(a + t for a, t in zip(acc, tiles))
+
+    @pl.when(b == 0)
+    def _():
+        for r, t in zip(dw_refs, acc):
+            r[...] = t
+
+    @pl.when(b > 0)
+    def _():
+        for r, t in zip(dw_refs, acc):
+            r[...] += t
+
+
+def _pair_bwd_call(x, scales, ws1, ws2, gs, *, eps, H, nf1, nf2):
+    """gs: (g_out[, g_feat1][, g_feat2]) per the nf flags. Returns
+    (dx, *dws1, *dws2) with dws as per-shard PARTIAL sums."""
+    B, N, D = x.shape
+    tb = _pick_tb(B, N, D, bwd=True, pair=True)
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                 for w in ws1 + ws2]
+    return pl.pallas_call(
+        functools.partial(_pair_bwd_kernel, eps=eps, H=H, nf1=nf1, nf2=nf2,
+                          tb=tb),
+        grid=(B // tb,),
+        in_specs=([_row_spec(N, D, tb)] + [_scale_spec(B)] * 4
+                  + _w_specs(ws1) + _w_specs(ws2)
+                  + [_row_spec(N, D, tb)] * len(gs)),
+        out_specs=tuple([_row_spec(N, D, tb)] + _w_specs(ws1) + _w_specs(ws2)),
+        out_shape=tuple([jax.ShapeDtypeStruct((B, N, D), x.dtype)]
+                        + dw_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * (24 * N * D * D + 4 * N * N * D),
+            bytes_accessed=4 * B * N * D * x.dtype.itemsize,
+            transcendentals=B * N * D * 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, *scales, *ws1, *ws2, *gs)
+
+
+def _pair_feat_count(nf1, nf2):
+    return 1 + int(nf1) + int(nf2)
+
+
+def _pair_fwd_sharding_rule(nf1, nf2) -> SdyShardingRule:
+    wmaps = tuple((f"w{i}a", f"w{i}b") for i in range(2 * len(_W_NAMES)))
+    x_map = ("b", "n", "d")
+    s_map = ("b", "u")
+    out_maps = (x_map,) * _pair_feat_count(nf1, nf2)
+    non_batch = ("n", "d", "u") + tuple(f for m in wmaps for f in m)
+    return SdyShardingRule(
+        operand_mappings=(x_map,) + (s_map,) * 4 + wmaps,
+        result_mappings=out_maps,
+        need_replication_factors=non_batch)
+
+
+def _pair_bwd_sharding_rule(nf1, nf2) -> SdyShardingRule:
+    wmaps = tuple((f"w{i}a", f"w{i}b") for i in range(2 * len(_W_NAMES)))
+    x_map = ("b", "n", "d")
+    s_map = ("b", "u")
+    g_maps = (x_map,) * _pair_feat_count(nf1, nf2)
+    non_batch = ("n", "d", "u") + tuple(f for m in wmaps for f in m)
+    return SdyShardingRule(
+        operand_mappings=(x_map,) + (s_map,) * 4 + wmaps + g_maps,
+        result_mappings=(x_map,) + wmaps,
+        need_replication_factors=non_batch)
+
+
+def _get_pair_fwd_partitioned(nf1, nf2, eps, H):
+    key = ("pair_fwd", nf1, nf2, eps, H)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    n_w = len(_W_NAMES)
+
+    def local(x, sa1, sm1, sa2, sm2, *ws):
+        return _pair_fwd_call(x, (sa1, sm1, sa2, sm2), ws[:n_w], ws[n_w:],
+                              eps=eps, H=H, nf1=nf1, nf2=nf2)
+
+    n_out = _pair_feat_count(nf1, nf2)
+
+    def shardings(mesh, baxes):
+        x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        s_sh = NamedSharding(mesh, PartitionSpec(baxes, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        args = (x_sh,) + (s_sh,) * 4 + (repl,) * (2 * n_w)
+        outs = (x_sh,) * n_out if n_out > 1 else x_sh
+        return args, outs
+
+    def infer(mesh, arg_shapes, result_shape):
+        return shardings(mesh, _batch_axes(arg_shapes[0].sharding))[1]
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxes = _batch_axes(arg_shapes[0].sharding)
+        args, outs = shardings(mesh, baxes)
+        return mesh, local, outs, args
+
+    cp = custom_partitioning(local)
+    cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule=_pair_fwd_sharding_rule(nf1, nf2))
+    _CP_CACHE[key] = cp
+    return cp
+
+
+def _get_pair_bwd_partitioned(nf1, nf2, eps, H):
+    key = ("pair_bwd", nf1, nf2, eps, H)
+    if key in _CP_CACHE:
+        return _CP_CACHE[key]
+    n_w = len(_W_NAMES)
+    n_g = _pair_feat_count(nf1, nf2)
+
+    def local(x, sa1, sm1, sa2, sm2, *rest):
+        ws, gs = rest[:2 * n_w], rest[2 * n_w:]
+        return _pair_bwd_call(x, (sa1, sm1, sa2, sm2), ws[:n_w], ws[n_w:],
+                              gs, eps=eps, H=H, nf1=nf1, nf2=nf2)
+
+    def out_shardings(mesh, baxes):
+        x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        return (x_sh,) + (repl,) * (2 * n_w)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return out_shardings(mesh, _batch_axes(arg_shapes[0].sharding))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxes = _batch_axes(arg_shapes[0].sharding)
+        x_sh = NamedSharding(mesh, PartitionSpec(baxes, None, None))
+        s_sh = NamedSharding(mesh, PartitionSpec(baxes, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        args = ((x_sh,) + (s_sh,) * 4 + (repl,) * (2 * n_w) + (x_sh,) * n_g)
+
+        def lower(x, sa1, sm1, sa2, sm2, *rest):
+            outs = local(x, sa1, sm1, sa2, sm2, *rest)
+            dx, dws = outs[0], outs[1:]
+            if baxes is not None:
+                dws = jax.lax.psum(tuple(dws), baxes)
+            return (dx,) + tuple(dws)
+
+        return mesh, lower, out_shardings(mesh, baxes), args
+
+    cp = custom_partitioning(local)
+    cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule=_pair_bwd_sharding_rule(nf1, nf2))
+    _CP_CACHE[key] = cp
+    return cp
+
+
+def _make_fused_pair(nf1: bool, nf2: bool):
+    n_w = len(_W_NAMES)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+    def fused(x, scales, ws1, ws2, eps, H):
+        if _multi_device():
+            outs = _get_pair_fwd_partitioned(nf1, nf2, eps, H)(
+                x, *scales, *ws1, *ws2)
+        else:
+            outs = _pair_fwd_call(x, scales, ws1, ws2, eps=eps, H=H,
+                                  nf1=nf1, nf2=nf2)
+        return tuple(outs) if (nf1 or nf2) else outs
+
+    def fwd(x, scales, ws1, ws2, eps, H):
+        return fused(x, scales, ws1, ws2, eps, H), (x, scales, ws1, ws2)
+
+    def bwd(eps, H, res, g):
+        x, scales, ws1, ws2 = res
+        gs = tuple(g) if (nf1 or nf2) else (g,)
+        if _multi_device():
+            outs = _get_pair_bwd_partitioned(nf1, nf2, eps, H)(
+                x, *scales, *ws1, *ws2, *gs)
+        else:
+            outs = _pair_bwd_call(x, scales, ws1, ws2, gs, eps=eps, H=H,
+                                  nf1=nf1, nf2=nf2)
+        dx, dws = outs[0], outs[1:]
+        dws = tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws1 + ws2))
+        zeros = tuple(jnp.zeros_like(s) for s in scales)
+        return dx, zeros, dws[:n_w], dws[n_w:]
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+_FUSED_PAIRS = {(nf1, nf2): _make_fused_pair(nf1, nf2)
+                for nf1 in (False, True) for nf2 in (False, True)}
+
+
+def fused_vit_block_pair(x: jax.Array, params1: Dict[str, Any],
+                         params2: Dict[str, Any], *, num_heads: int,
+                         ln_eps: float = 1e-6,
+                         scale_attn1: Optional[jax.Array] = None,
+                         scale_mlp1: Optional[jax.Array] = None,
+                         scale_attn2: Optional[jax.Array] = None,
+                         scale_mlp2: Optional[jax.Array] = None,
+                         need_features1: bool = True,
+                         need_features2: bool = True,
+                         ) -> Tuple[jax.Array, Optional[jax.Array],
+                                    Optional[jax.Array]]:
+    """Apply TWO consecutive fused pre-norm ViT blocks in one kernel.
+
+    Same contract as two chained :func:`fused_vit_block` calls; returns
+    (out, feat1, feat2) with feats None when not requested. Use on paths
+    that BACKPROP (the pair backward is the win); fwd-only models should
+    keep single blocks (see module note above)."""
+    B = x.shape[0]
+    ones = jnp.ones((B, 1), jnp.float32)
+
+    def _s(v):
+        return ones if v is None else v.reshape(B, 1).astype(jnp.float32)
+
+    scales = (_s(scale_attn1), _s(scale_mlp1), _s(scale_attn2), _s(scale_mlp2))
+    ws1 = _weight_arrays(params1, x.dtype)
+    ws2 = _weight_arrays(params2, x.dtype)
+    outs = _FUSED_PAIRS[(need_features1, need_features2)](
+        x, scales, ws1, ws2, ln_eps, num_heads)
+    if not (need_features1 or need_features2):
+        return outs, None, None
+    outs = list(outs)
+    out = outs.pop(0)
+    f1 = outs.pop(0) if need_features1 else None
+    f2 = outs.pop(0) if need_features2 else None
+    return out, f1, f2
+
+
+def best_block_pair_fn(enabled: bool = True):
+    """block_pair_fn for VisionTransformer: pair kernel on TPU, else None.
+
+    Wire this ONLY into models that backprop (students): the pair forward
+    alone measured neutral-to-slower, the win is the fused pair backward.
+    Same TP caveat as best_block_fn."""
+    if enabled and use_fused_block():
+        return fused_vit_block_pair
     return None

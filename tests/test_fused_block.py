@@ -203,3 +203,78 @@ def test_model_fused_no_features_returns_none():
                   jnp.zeros((B, 32, 32, 3)), train=False)
     assert all(f is None for f in out.features)
     assert out.logits.shape == (B, 10)
+
+
+class TestBlockPair:
+    """Two-blocks-per-kernel path (fused_vit_block_pair + the model pairing
+    loop) vs the single-block fused model — interpret mode, so the exact
+    production kernel code runs on CPU. Covers odd depth (trailing single
+    block), per-position feature collection, and gradients."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self):
+        from deltakd_tpu.ops import fused_block
+        fused_block.set_interpret(True)
+        yield
+        fused_block.set_interpret(False)
+
+    def _models(self, depth, collect=True):
+        from deltakd_tpu.ops.fused_block import fused_vit_block_pair
+
+        cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=D, depth=depth,
+                        num_heads=H, num_classes=10, distilled=True)
+        single = VisionTransformer(cfg, dtype=jnp.bfloat16,
+                                   block_fn=fused_vit_block,
+                                   collect_features=collect)
+        paired = VisionTransformer(cfg, dtype=jnp.bfloat16,
+                                   block_fn=fused_vit_block,
+                                   block_pair_fn=fused_vit_block_pair,
+                                   collect_features=collect)
+        params = single.init({"params": jax.random.PRNGKey(0)},
+                             jnp.zeros((1, 32, 32, 3)))["params"]
+        p2 = paired.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 32, 32, 3)))["params"]
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, p2)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 32, 32, 3),
+                              jnp.float32)
+        return single, paired, params, x
+
+    @pytest.mark.parametrize("depth", [2, 3])
+    def test_forward_matches_single(self, depth):
+        single, paired, params, x = self._models(depth)
+        o_s = single.apply({"params": params}, x, train=False)
+        o_p = paired.apply({"params": params}, x, train=False)
+        scale = float(jnp.max(jnp.abs(o_s.logits))) + 1e-6
+        assert float(jnp.max(jnp.abs(o_p.logits - o_s.logits))) < 0.02 * scale
+        assert len(o_p.features) == depth
+        for fp, fs in zip(o_p.features, o_s.features):
+            s = float(jnp.max(jnp.abs(fs.astype(jnp.float32)))) + 1e-6
+            assert float(jnp.max(jnp.abs(fp.astype(jnp.float32)
+                                         - fs.astype(jnp.float32)))) < 0.02 * s
+
+    def test_partial_feature_collection(self):
+        # only block 1 of a depth-2 pair collects: nf1=False, nf2=True variant
+        single, paired, params, x = self._models(2, collect=frozenset({1}))
+        o_p = paired.apply({"params": params}, x, train=False)
+        assert o_p.features[0] is None and o_p.features[1] is not None
+
+    def test_gradients_match_single(self):
+        single, paired, params, x = self._models(2)
+
+        def loss(m):
+            def f(p):
+                out = m.apply({"params": p}, x, train=True)
+                return (jnp.sum(out.logits.astype(jnp.float32) ** 2)
+                        + sum(jnp.sum(f_.astype(jnp.float32) ** 2)
+                              for f_ in out.features if f_ is not None))
+            return f
+
+        g_s = jax.grad(loss(single))(params)
+        g_p = jax.grad(loss(paired))(params)
+        flat_s = jax.tree_util.tree_leaves_with_path(g_s)
+        flat_p = jax.tree.leaves(g_p)
+        for (path, a), b in zip(flat_s, flat_p):
+            a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            s = np.abs(a32).max() + 1e-5
+            assert np.abs(a32 - b32).max() < 0.03 * s, (
+                jax.tree_util.keystr(path), np.abs(a32 - b32).max(), s)
