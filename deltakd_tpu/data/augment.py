@@ -204,10 +204,23 @@ def _row_weights(coord: jax.Array, in_size: int, scale: jax.Array,
     return jnp.where(pick[:, None, None], wc, _interp_matrix(coord, in_size))
 
 
+def _reflect_coord(c: jax.Array, n: int) -> jax.Array:
+    """Mirror out-of-image source coords back inside (torch F.pad 'reflect':
+    index -1 ↦ 1, n ↦ n-2 — the edge pixel is NOT repeated). Valid for
+    excursions < n-1, far beyond the ±4-pixel RandomCrop jitter that uses it.
+    Sampling the reflect-padded image at c equals sampling the original at
+    reflect(c) for symmetric interpolation kernels (bilinear exactly; bicubic
+    exactly except taps straddling the mirror axis, where the dropped-tap
+    renormalization of :func:`_interp_matrix_cubic` differs at <1 px depth)."""
+    c = jnp.abs(c)
+    return jnp.where(c > n - 1.0, 2.0 * (n - 1.0) - c, c)
+
+
 def resample_separable(imgs: jax.Array, mats: jax.Array, out_h: int,
                        out_w: int, fill: Optional[jax.Array] = None,
                        method: str = "bilinear",
-                       pick: Optional[jax.Array] = None) -> jax.Array:
+                       pick: Optional[jax.Array] = None,
+                       reflect: bool = False) -> jax.Array:
     """Axis-aligned batched warp as two matmuls (TPU fast path).
 
     ``mats`` [B,2,3] must have zero off-diagonal linear terms (crop / flip /
@@ -217,12 +230,19 @@ def resample_separable(imgs: jax.Array, mats: jax.Array, out_h: int,
     resample into two MXU matmuls (~1 ms). ``method`` picks the kernel:
     'bilinear' (2-tap triangle, no antialias — matches the gather warp),
     'bicubic' (PIL 4-tap a=-0.5 with PIL's downscale antialias stretch), or
-    'random' (per-sample choice via ``pick``, timm train-interp 'random')."""
+    'random' (per-sample choice via ``pick``, timm train-interp 'random').
+    ``reflect`` mirrors out-of-image coords back inside (torchvision
+    RandomCrop ``padding_mode='reflect'``, the reference 3-Augment ``--src``
+    crop, reference augment.py:94); mutually exclusive with ``fill``."""
     B, H, W, C = imgs.shape
+    assert not (reflect and fill is not None), "reflect excludes fill"
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     sy = mats[:, 0, 0:1] * ys[None, :] + mats[:, 0, 2:3]   # [B, out_h]
     sx = mats[:, 1, 1:2] * xs[None, :] + mats[:, 1, 2:3]   # [B, out_w]
+    if reflect:
+        sy = _reflect_coord(sy, H)
+        sx = _reflect_coord(sx, W)
     ry = _row_weights(sy, H, mats[:, 0, 0], method, pick)  # [B, out_h, H]
     rx = _row_weights(sx, W, mats[:, 1, 1], method, pick)  # [B, out_w, W]
     if method == "bilinear":
@@ -919,14 +939,16 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
         mats = crop_matrix(top, left, ch, cw, S, S)
         # torchvision RandomCrop(padding=4) zero-pads (reference
         # datasets.py:66-68); --src mode uses padding_mode='reflect'
-        # (reference augment.py:94), approximated by edge clamping here
+        # (reference augment.py:94) via coordinate mirroring in the resample
         crop_fill = jnp.zeros((3,), jnp.float32) if ac.small_input_crop else None
+        crop_reflect = ac.src and not ac.small_input_crop
     else:
         tops, lefts, chs, cws = jax.vmap(
             lambda k: random_resized_crop_params(k, H, W)
         )(jax.random.split(k_crop, B))
         mats = crop_matrix(tops, lefts, chs, cws, S, S)
         crop_fill = None  # RRC boxes never leave the image
+        crop_reflect = False
 
     # 2. horizontal flip composed into the warp (still axis-aligned)
     flip = jax.random.bernoulli(k_flip, 0.5, (B,))
@@ -963,10 +985,12 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             lambda x: warp_dense_matmul(x, g_src, H, W, fill=fill),
             lambda x: x, imgs_f)
         imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill,
-                                  method=ac.interpolation, pick=interp_pick)
+                                  method=ac.interpolation, pick=interp_pick,
+                                  reflect=crop_reflect)
     else:
         imgs = resample_separable(imgs_f, mats, S, S, fill=crop_fill,
-                                  method=ac.interpolation, pick=interp_pick)
+                                  method=ac.interpolation, pick=interp_pick,
+                                  reflect=crop_reflect)
         imgs = jax.lax.cond(
             any_geo,
             lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),

@@ -285,6 +285,34 @@ def test_separable_resample_matches_gather_warp():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-2)
 
 
+def test_resample_reflect_matches_numpy_reflect_pad():
+    """--src crop padding: torchvision RandomCrop(padding_mode='reflect')
+    (reference augment.py:94). Integer translations must reproduce
+    np.pad(mode='reflect') + crop exactly; fractional ones must match
+    bilinear sampling of the reflect-padded image."""
+    img = _rand_img(11).astype(np.float32)
+    padded = np.pad(img, ((4, 4), (4, 4), (0, 0)), mode="reflect")
+
+    # integer jitters incl. the extremes of RandomCrop(32, padding=4)
+    offs = [(-4, -4), (-3, 2), (0, 0), (4, 4), (2, -1)]
+    mats = jnp.stack([A.crop_matrix(float(t), float(l), 32.0, 32.0, 32, 32)
+                      for t, l in offs])
+    imgs = jnp.broadcast_to(jnp.asarray(img), (len(offs), 32, 32, 3))
+    out = np.asarray(A.resample_separable(imgs, mats, 32, 32, reflect=True))
+    for k, (t, l) in enumerate(offs):
+        ref = padded[4 + t:4 + t + 32, 4 + l:4 + l + 32]
+        np.testing.assert_allclose(out[k], ref, atol=1e-3)
+
+    # fractional offset: bilinear of the reflect-padded image
+    mat = A.crop_matrix(-2.5, 1.25, 32.0, 32.0, 32, 32)
+    out = np.asarray(A.resample_separable(
+        jnp.asarray(img)[None], mat[None], 32, 32, reflect=True))[0]
+    ref = np.asarray(A.warp_bilinear(
+        jnp.asarray(padded), A.crop_matrix(4 - 2.5, 4 + 1.25, 32.0, 32.0, 32, 32),
+        32, 32))
+    np.testing.assert_allclose(out, ref, atol=1e-2)
+
+
 def test_bitonic_sort_matches_numpy():
     from deltakd_tpu.ops.sort import bitonic_sort
 
