@@ -50,7 +50,7 @@ def main(batch_size: int = 448, steps: int = 40, warmup: int = 3,
 
     from deltakd_tpu.kd.losses import feature_indices
     from deltakd_tpu.ops.attention import best_attention_fn
-    from deltakd_tpu.ops.fused_block import best_block_fn
+    from deltakd_tpu.ops.fused_block import best_block_fn, best_block_pair_fn
     from deltakd_tpu.ops.fused_mlp import best_mlp_fn
 
     cfg = TrainConfig(batch_size=batch_size, distillation_type=distillation_type,
@@ -64,9 +64,13 @@ def main(batch_size: int = 448, steps: int = 40, warmup: int = 3,
                              num_classes=100).depth
     needs_features = feature_indices(distillation_type, depth)
     rng = jax.random.PRNGKey(0)
+    # block-pair fusion measured SLOWER at model level (+2.2%, negative
+    # result in ops/fused_block.py) — off unless DELTAKD_PAIR=1 opts in
+    pair_fn = best_block_pair_fn(os.environ.get("DELTAKD_PAIR") == "1")
     student = create_model("deit_tiny_distilled_patch16_224", num_classes=100,
                            img_size=224, drop_path_rate=0.1, dtype=jnp.bfloat16,
                            attention_fn=attn, block_fn=block_fn,
+                           block_pair_fn=pair_fn,
                            collect_features=needs_features)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
                            img_size=224, dtype=jnp.bfloat16, attention_fn=attn,

@@ -79,14 +79,19 @@ def main():
     epoch = jnp.asarray(0, jnp.int32)
 
     runners = {}
-    for name, pair in (("single", False), ("pair", True)):
+    # hybrid = single-block fwd kernels + fused pair bwd (attribution run);
+    # env is read at trace time, so set it around each build+warmup only
+    for name, pair, hybrid in (("single", False, False), ("pair", True, False),
+                               ("hybrid", True, True)):
+        os.environ["DELTAKD_PAIR_HYBRID"] = "1" if hybrid else "0"
         step, state, t_params = build_step(pair, B)
         # warm up / compile
         for _ in range(3):
             state, metrics = step(state, t_params, images, labels, key, epoch)
         float(metrics["train_loss"])
         runners[name] = (step, state, t_params)
-        print(f"[{name}] compiled")
+        print(f"[{name}] compiled", flush=True)
+    os.environ.pop("DELTAKD_PAIR_HYBRID", None)
 
     # fetch-cost estimate (tunnel scalar fetch ~40 ms, CLAUDE.md)
     t0 = time.perf_counter()

@@ -95,12 +95,13 @@ def load_teacher_student(config, *, rng: jax.Array,
                   else 1)
     kernels_on = attention_fn is not None
     block_fn = best_block_fn(kernels_on and model_axis == 1)
-    # The student BACKPROPS, so it pairs consecutive blocks into one kernel
-    # (fused pair backward, -10% at D=192 — ops/fused_block.py pair section);
-    # the forward-only teacher keeps single blocks (pair fwd measured
-    # slower). DELTAKD_PAIR=0 forces the single-block student for A/B runs.
+    # Block-pair fusion is OFF by default: the isolated two-block ablation
+    # won -10% but the FULL-MODEL interleaved A/B measured pair +2.2% / the
+    # pair backward alone +1.9% slower at b256 and b448 (negative result,
+    # ops/fused_block.py pair section). DELTAKD_PAIR=1 opts the student back
+    # in for A/B runs on other hardware.
     pair_enabled = (kernels_on and model_axis == 1
-                    and os.environ.get("DELTAKD_PAIR", "1") != "0")
+                    and os.environ.get("DELTAKD_PAIR") == "1")
     block_pair_fn = best_block_pair_fn(pair_enabled)
 
     from deltakd_tpu.models.registry import get_model_config

@@ -270,10 +270,9 @@ class VisionTransformer(nn.Module):
     mlp_fn: Optional[Callable] = None
     block_fn: Optional[Callable] = None    # fully-fused block kernel (TPU)
     block_pair_fn: Optional[Callable] = None  # two-blocks-per-kernel variant
-    # — wire ONLY into models that backprop (students): the pair backward
-    # removes the mid activation's HBM round trip (-10% fwd+bwd at D=192),
-    # but the pair forward alone is neutral-to-slower, so fwd-only teachers
-    # keep single blocks (ops/fused_block.py pair section).
+    # — measured SLOWER than single blocks at full-model level (+2.2%,
+    # negative result in ops/fused_block.py pair section); kept for A/B
+    # runs (DELTAKD_PAIR=1), no default path wires it.
     collect_features: Any = True           # True/False or frozenset of block
     # indices whose features the KD objective reads (kd.losses.feature_indices)
 

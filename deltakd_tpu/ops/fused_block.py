@@ -62,6 +62,21 @@ Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
     double-rate mode is not reachable through this stack — a bare s8 dot
     runs at ~bf16 speed in both Mosaic and XLA, and the full D=384 block
     loses 9% to the quant/dequant passes (benchmarks/scratch_int8.py).
+  * Block-PAIR fusion (round 4, kernels kept below, default OFF): the
+    isolated two-block ablation won -10.1% fwd+bwd at D=192
+    (benchmarks/scratch_twoblock.py), but the FULL-MODEL interleaved A/B
+    (benchmarks/scratch_pair_model.py, soft-KD step, 4-5 rounds, ±0.1%
+    spread) measured pair +2.2% at BOTH b256 and b448, and a hybrid
+    single-fwd + pair-bwd variant (DELTAKD_PAIR_HYBRID=1) +1.9% — i.e.
+    the pair BACKWARD itself loses at model level. Two effects the
+    isolated pair misses: (a) across separate pallas_calls the scheduler
+    overlaps the next block's weight/activation DMA with the current
+    kernel's tail, so the mid-activation HBM round trip the pair removes
+    was already partly hidden; (b) the pair backward's doubled live set
+    forces tb=2 vs the single backward's tb=4 — half the independent
+    per-element chains, and those chains are what buy MXU/VPU overlap
+    (see the TB note above). DELTAKD_PAIR=1 re-enables for A/B runs on
+    hardware with different VMEM/BW ratios.
   Timing protocol note: the chip throttles ~15% within seconds of
   sustained load, so kernel-level A/B comparisons must interleave variants
   round-robin (benchmarks/scratch_vpu.py); full-model timings are stable
@@ -863,14 +878,18 @@ def best_block_fn(enabled: bool = True):
 # -----------------------------------------------------------------------------
 # Block-PAIR kernels: two consecutive blocks per grid step.
 #
+# STATUS (round 4): measured NEGATIVE at the full-model level — see the
+# dead-end table above. Kept compiled+tested as the record (DELTAKD_PAIR=1
+# opts in); not used by any default path.
+#
 # Motivation (round-4 verdict 3a, measured in benchmarks/scratch_twoblock.py,
 # B=256 N=198 round-robin): the pair BACKWARD removes the mid activation's
 # HBM round trip (x-read + g-read + dx-write per block -> once per pair) and
 # halves kernel launches: fwd+bwd -10.1% at D=192 (tb 2), -13.2% at D=384
-# (tb 1). The pair FORWARD alone is neutral at D=192 / SLOWER at D=384
-# (+4-9%: halving the chain count costs more ILP than the saved traffic), so
-# pairing is only wired into models that BACKPROP (the student); fwd-only
-# teachers keep single-block kernels.
+# (tb 1) in ISOLATION. The pair FORWARD alone is neutral at D=192 / SLOWER
+# at D=384 (+4-9%: halving the chain count costs more ILP than the saved
+# traffic). At the full-model level both the pair and the hybrid
+# single-fwd+pair-bwd variants LOSE ~2% (benchmarks/scratch_pair_model.py).
 #
 # The pair backward recomputes block1 keeping its stash in VMEM
 # (_block_fwd_stash(s_mlp=...) also produces the mid activation - one extra
@@ -1128,6 +1147,18 @@ def _make_fused_pair(nf1: bool, nf2: bool):
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
     def fused(x, scales, ws1, ws2, eps, H):
+        if os.environ.get("DELTAKD_PAIR_HYBRID") == "1" and not _multi_device():
+            # Attribution experiment (round 4): single-block FORWARD kernels
+            # (tb=8 deep queue, full ILP) + the fused pair BACKWARD — isolates
+            # whether the pair fwd or the pair bwd loses at model level.
+            o1 = _fused_block_fwd_call(x, scales[0], scales[1], ws1,
+                                       eps=eps, H=H, need_feat=nf1)
+            mid, f1 = o1 if nf1 else (o1, None)
+            o2 = _fused_block_fwd_call(mid, scales[2], scales[3], ws2,
+                                       eps=eps, H=H, need_feat=nf2)
+            out, f2 = o2 if nf2 else (o2, None)
+            outs = ((out,) + ((f1,) if nf1 else ()) + ((f2,) if nf2 else ()))
+            return outs if (nf1 or nf2) else out
         if _multi_device():
             outs = _get_pair_fwd_partitioned(nf1, nf2, eps, H)(
                 x, *scales, *ws1, *ws2)
@@ -1201,9 +1232,9 @@ def fused_vit_block_pair(x: jax.Array, params1: Dict[str, Any],
 def best_block_pair_fn(enabled: bool = True):
     """block_pair_fn for VisionTransformer: pair kernel on TPU, else None.
 
-    Wire this ONLY into models that backprop (students): the pair forward
-    alone measured neutral-to-slower, the win is the fused pair backward.
-    Same TP caveat as best_block_fn."""
+    Measured NEGATIVE at full-model level on v5e (see the dead-end table) —
+    pass enabled=True only for explicit A/B runs (factory gates it behind
+    DELTAKD_PAIR=1). Same TP caveat as best_block_fn."""
     if enabled and use_fused_block():
         return fused_vit_block_pair
     return None
