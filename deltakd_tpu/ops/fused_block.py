@@ -77,6 +77,17 @@ Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
     per-element chains, and those chains are what buy MXU/VPU overlap
     (see the TB note above). DELTAKD_PAIR=1 re-enables for A/B runs on
     hardware with different VMEM/BW ratios.
+  * Lane-packing the ragged dims (round 4, benchmarks/scratch_lanepack.py):
+    premise was that [198, 192] VPU stages waste the half-masked second
+    lane tile (192 = 128 + 64) and a [297, 128] full-tile layout of the
+    same 38016 elements would cut ~24% of tile-ops. Measured: a 24-pass
+    transcendental chain runs EQUAL in both layouts (-0.4%, inside noise)
+    — Mosaic's VPU cost tracks element count, not padded-tile count, so
+    there is no waste to reclaim. The integration path is closed twice
+    over: an in-kernel [198,192]->[297,128] jnp.reshape does not even
+    compile ("infer-vector-layout: unsupported shape cast"), so packed
+    stages would need HBM-level relayouts that cost the very data passes
+    they'd save.
   Timing protocol note: the chip throttles ~15% within seconds of
   sustained load, so kernel-level A/B comparisons must interleave variants
   round-robin (benchmarks/scratch_vpu.py); full-model timings are stable
