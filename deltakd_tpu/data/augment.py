@@ -886,8 +886,11 @@ class AugmentConfig:
             std=tuple(stats["std"]), rand_augment=ra,
             color_jitter=cfg.color_jitter if (ra is None or cfg.ThreeAugment) else 0.0,
             reprob=cfg.reprob if not cfg.ThreeAugment else 0.0,
-            interpolation=cfg.interpolation,
-            remode=cfg.remode, recount=cfg.recount,
+            # getattr: config-like stubs (tests) may predate these flags;
+            # defaults mirror TrainConfig / reference train.py:173-188
+            interpolation=getattr(cfg, "interpolation", "bicubic"),
+            remode=getattr(cfg, "remode", "pixel"),
+            recount=getattr(cfg, "recount", 1),
             three_augment=cfg.ThreeAugment, src=cfg.src,
             small_input_crop=cfg.input_size <= 32,
             eval_crop_ratio=cfg.eval_crop_ratio,
@@ -995,7 +998,13 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
             any_geo,
             lambda x: warp_bilinear_batch(x, geo, S, S, fill=fill),
             lambda x: x, imgs)
-    imgs = _clip(imgs)
+    # quantize to integer pixels like PIL: every PIL geometric op emits
+    # uint8, so the reference's pixel ops see integers (datasets.py uses
+    # PIL transforms end to end). Also makes the optional bf16 cast below
+    # EXACT (integers ≤256 are bf16-representable; fractional pixels ≥128
+    # are not, and bf16's 1.0-wide grid there flips posterize/solarize
+    # thresholds — measured at 0.4-3% of pixels under bicubic resampling).
+    imgs = jnp.round(_clip(imgs))
     if ac.pixel_bf16:
         # everything from here on is full-resolution elementwise passes;
         # bf16 halves their HBM traffic (the geometric stage above stays
