@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -165,9 +166,16 @@ class TrainConfig:
         if self.recount < 1:
             raise ValueError("--recount must be >= 1 (reference train.py:175)")
         if self.resplit:
-            raise NotImplementedError(
-                "--resplit is not implemented (reference default is off, "
-                "reference train.py:177)")
+            # Accepted no-op, matching the reference exactly: it parses
+            # --resplit (reference train.py:177) but never forwards it to
+            # timm's create_transform (reference dataset/datasets.py:56-64),
+            # so the flag has no effect on the reference's training either.
+            # (timm's re_split only matters with aug-splits, which the
+            # reference never enables.)
+            warnings.warn(
+                "--resplit is accepted but has no effect, matching the "
+                "reference, which parses it and never passes it to "
+                "create_transform (dataset/datasets.py:56-64)")
         return self
 
 

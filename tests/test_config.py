@@ -48,8 +48,11 @@ def test_unhonored_flags_fail_loudly():
     raise instead of silently changing the recipe (reference train.py:54-197)."""
     with pytest.raises(NotImplementedError):
         parse_args(["--remode", "rand"])
-    with pytest.raises(NotImplementedError):
-        parse_args(["--resplit"])
+    # --resplit is an accepted no-op WITH a warning: the reference parses it
+    # but never forwards it to create_transform (dataset/datasets.py:56-64),
+    # so a recipe passing it must keep running, exactly as it does upstream
+    with pytest.warns(UserWarning, match="resplit"):
+        assert parse_args(["--resplit"]).resplit
     # implemented variants parse cleanly (round-4: lr-noise, const, recount)
     assert parse_args(["--lr-noise", "0.4", "0.8"]).lr_noise == (0.4, 0.8)
     assert parse_args(["--remode", "const"]).remode == "const"
