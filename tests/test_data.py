@@ -144,12 +144,13 @@ def test_pixel_bf16_matches_fp32(three_aug):
         assert out16.dtype == jnp.bfloat16
         assert out32.dtype == jnp.float32
         # normalized units: a few /255 of the 0-255 range over std≈0.225·255.
-        # Threshold ops (solarize at 128, posterize bins) legitimately flip
-        # isolated pixels whose value rounds across the threshold in bf16 —
-        # bound the bulk of the distribution, not the max.
+        # Since the geometric stage quantizes to integer pixels (round-4, like
+        # PIL), threshold ops (solarize at 128, posterize bins) see exact
+        # integers in both dtypes — no threshold flips remain, so the MAX is
+        # bounded, not just the bulk (measured max 0.069 across seeds/modes).
         diff = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
         assert np.quantile(diff, 0.999) < 0.08, np.quantile(diff, 0.999)
-        assert (diff > 0.2).mean() < 1e-3, (diff > 0.2).mean()
+        assert diff.max() < 0.1, diff.max()
 
 
 # ---------------------------------------------------------------------------
