@@ -88,6 +88,22 @@ Measured dead ends (round 3, v5e-1; kept so nobody re-tries them):
     compile ("infer-vector-layout: unsupported shape cast"), so packed
     stages would need HBM-level relayouts that cost the very data passes
     they'd save.
+  * Teacher+student CO-SCHEDULED forward kernel (round 4,
+    benchmarks/scratch_comix.py): premise was that the teacher fwd
+    (D=384, MXU-busy, ~58% MFU) and student fwd (D=192, VPU/data-pass
+    heavy) have complementary bottlenecks, so one kernel running both
+    models' chains per grid step could hide the student forward under
+    the teacher's matmuls (TPU cores run one op at a time, so separate
+    pallas_calls can never share units). Measured at B=256, N=198,
+    interleaved rounds: 1 teacher + 1 student chain per step +23%, 2+2
+    chains +10.5% vs the production-shaped serial kernels (teacher tb=4
+    then student tb=8); best single rounds reached only parity. The
+    same-model tb chains already saturate the cross-unit overlap — the
+    merged kernel's halved per-model chain count costs more ILP than
+    cross-model complementarity buys back. Numerics were exact (CPU
+    interpret + on-chip diff 0.0), so the integration (custom-vjp fwd
+    running the merged kernel, existing student-only fused backward)
+    remains valid if a future chip's VMEM/unit ratios flip the result.
   Timing protocol note: the chip throttles ~15% within seconds of
   sustained load, so kernel-level A/B comparisons must interleave variants
   round-robin (benchmarks/scratch_vpu.py); full-model timings are stable
