@@ -505,6 +505,26 @@ def ours_train_student(root: str, teacher_path: str, objective: str,
 # orchestration
 # ---------------------------------------------------------------------------
 
+def _teacher_fingerprint(teacher_path: str) -> str:
+    """Cheap content fingerprint so cached student results are invalidated if
+    the cached teacher checkpoint is ever regenerated (both sides distill from
+    these exact weights)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    with open(teacher_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def _load_cache(path: str) -> dict:
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -548,18 +568,40 @@ def main() -> int:
     ref_cfg = make_cfg(root, "", "soft", 0, epochs, args.workdir)
 
     teacher_path = os.path.join(args.workdir, "teacher.pth")
+    teacher_acc_path = os.path.join(args.workdir, "teacher_acc.json")
     if not os.path.isfile(teacher_path):
         t0 = time.time()
         teacher_acc = torch_train_teacher(ref_cfg, root, teacher_path,
                                           teacher_epochs)
+        with open(teacher_acc_path, "w") as f:
+            json.dump({"val_acc1": teacher_acc}, f)
         print(f"teacher pretrained: val top-1 {teacher_acc:.2f}% "
               f"({time.time() - t0:.0f}s)")
+    elif os.path.isfile(teacher_acc_path):
+        with open(teacher_acc_path) as f:
+            teacher_acc = json.load(f)["val_acc1"]
     else:
         teacher_acc = None
+
+    # results cache: extending --seeds re-runs only the new (objective, seed)
+    # pairs — both stacks are seed-deterministic, so finished runs are facts.
+    # Keyed by everything that changes the outcome, incl. the teacher weights.
+    cache_path = os.path.join(args.workdir, "results_cache.json")
+    cache = _load_cache(cache_path)
+    tfp = _teacher_fingerprint(teacher_path)
 
     results = {}
     for objective in objectives:
         for seed in args.seeds:
+            key = (f"{objective}|seed{seed}|ep{epochs}|n{n_train}x{n_val}"
+                   f"|teacher:{tfp}")
+            if key in cache:
+                results[(objective, seed)] = cache[key]
+                r = cache[key]
+                print(f"[{objective} seed {seed}] cached: torch "
+                      f"{r['torch']['final_acc']:.2f}% | ours "
+                      f"{r['ours']['final_acc']:.2f}%")
+                continue
             t0 = time.time()
             r_t = torch_train_student(ref_cfg.replace(epochs=epochs), root,
                                       teacher_path, objective, seed)
@@ -569,6 +611,9 @@ def main() -> int:
                                      epochs, args.workdir)
             t_ours = time.time() - t0
             results[(objective, seed)] = {"torch": r_t, "ours": r_o}
+            cache[key] = results[(objective, seed)]
+            with open(cache_path, "w") as f:
+                json.dump(cache, f, indent=1)
             print(f"[{objective} seed {seed}] torch {r_t['final_acc']:.2f}% "
                   f"({t_torch:.0f}s) | ours {r_o['final_acc']:.2f}% "
                   f"({t_ours:.0f}s)")
