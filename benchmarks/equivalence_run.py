@@ -365,6 +365,30 @@ def torch_train_teacher(cfg, root: str, out_path: str, epochs: int) -> float:
     return acc
 
 
+def _timm_init(model) -> None:
+    """The reference creates its student via timm ``create_model`` (reference
+    model/models.py), whose DeiT init is trunc_normal(std=.02) on every
+    Linear/Conv weight with zeroed biases — NOT torch's kaiming_uniform
+    defaults. Our production models implement exactly that
+    (deltakd_tpu/models/vit.py trunc_init), so the harness's torch student
+    must too; otherwise the two stacks train from different init
+    distributions. (Found via wasskd: its ×5 feature term makes the early
+    trajectory init-sensitive — with torch-default init the torch side
+    learned ~2x faster at tiny-epoch scale, with identical loss/grad
+    machinery proven by benchmarks/scratch_wasskd_shapes.py.)"""
+    import torch
+    import torch.nn as nn
+
+    for m in model.modules():
+        if isinstance(m, (nn.Linear, nn.Conv2d)):
+            nn.init.trunc_normal_(m.weight, std=0.02)
+            if m.bias is not None:
+                nn.init.zeros_(m.bias)
+    for tok in ("cls_token", "dist_token", "pos_embed"):
+        if hasattr(model, tok):
+            nn.init.trunc_normal_(getattr(model, tok), std=0.02)
+
+
 def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
                         seed: int) -> dict:
     """The torch analogue of run(): host transforms -> TorchViT -> reference
@@ -372,7 +396,7 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
     import torch
     import torch.nn as nn
 
-    from torch_ref import TorchViT, torch_mgd, torch_soft_kd
+    from torch_ref import TorchViT, torch_mgd, torch_soft_kd, torch_wasskd_l1
 
     torch.manual_seed(seed)
     train_ds = FolderDataset(os.path.join(root, "train"),
@@ -394,6 +418,7 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
     distilled = objective == "soft"
     student = TorchViT(img_size=INPUT, patch=8, dim=64, depth=4, num_heads=4,
                        num_classes=NUM_CLASSES, distilled=distilled)
+    _timm_init(student)  # reference init (timm create_model), see helper
     aux_mods = []
     if objective == "mgd":
         align = nn.Linear(64, 128)
@@ -403,6 +428,11 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
         aux_mods = [align, gen1, gen2]
         aux_params = (list(align.parameters()) + [mask_token]
                       + list(gen1.parameters()) + list(gen2.parameters()))
+    elif objective == "wasskd":
+        # reference model/loss.py:187-199 — one align linear per block 0-2
+        wass_aligns = [nn.Linear(64, 128) for _ in range(3)]
+        aux_mods = list(wass_aligns)
+        aux_params = [p for m in wass_aligns for p in m.parameters()]
     else:
         aux_params = []
 
@@ -424,13 +454,16 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
             x, targets = mixup(x, y)
             with torch.no_grad():
                 t_logits = teacher(x)
-                if objective == "mgd":
+                if objective in ("mgd", "wasskd"):
                     _, _, t_feats = teacher.forward_with_features(x)
             cls_logits, dist_logits, s_feats = student.forward_with_features(x)
             base = _soft_ce(cls_logits, targets)
             if objective == "soft":
                 distill = torch_soft_kd(dist_logits, t_logits, cfg.tau)
                 loss = base * (1.0 - cfg.alpha) + distill * cfg.alpha
+            elif objective == "wasskd":
+                distill = torch_wasskd_l1(s_feats, t_feats, wass_aligns)
+                loss = base + distill * 5.0  # reference loss.py:226
             else:
                 noise = torch.rand(x.shape[0],
                                    s_feats[-1].shape[1] - 1)
@@ -529,8 +562,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs/data for a smoke run")
-    ap.add_argument("--objective", choices=["soft", "mgd", "both"],
-                    default="both")
+    ap.add_argument("--objective",
+                    choices=["soft", "mgd", "wasskd", "both", "all"],
+                    default="both",
+                    help="'both' = soft+mgd (historical); 'all' adds wasskd "
+                         "(l1), which puts the sorted-L1/bitonic machinery "
+                         "in the training loop")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--workdir", default="/tmp/deltakd_equivalence")
@@ -546,7 +583,9 @@ def main() -> int:
     n_train, n_val = (32, 16) if args.quick else (128, 32)
     epochs = args.epochs or (6 if args.quick else 40)
     teacher_epochs = 4 if args.quick else 30
-    objectives = ["soft", "mgd"] if args.objective == "both" else [args.objective]
+    objectives = {"both": ["soft", "mgd"],
+                  "all": ["soft", "mgd", "wasskd"]}.get(args.objective,
+                                                        [args.objective])
 
     root = os.path.join(args.workdir, "data")
     os.makedirs(args.workdir, exist_ok=True)
@@ -583,40 +622,42 @@ def main() -> int:
     else:
         teacher_acc = None
 
-    # results cache: extending --seeds re-runs only the new (objective, seed)
-    # pairs — both stacks are seed-deterministic, so finished runs are facts.
-    # Keyed by everything that changes the outcome, incl. the teacher weights.
+    # results cache: extending --seeds re-runs only the new (stack, objective,
+    # seed) runs — both stacks are seed-deterministic, so finished runs are
+    # facts. Keyed per stack by everything that changes the outcome, incl. the
+    # teacher weights. The torch key carries a version ("torch2" = timm-init
+    # student, see _timm_init) so harness-fidelity fixes invalidate only the
+    # side they change.
     cache_path = os.path.join(args.workdir, "results_cache.json")
     cache = _load_cache(cache_path)
     tfp = _teacher_fingerprint(teacher_path)
 
+    def _one(stack: str, objective: str, seed: int) -> dict:
+        tag = f"|seed{seed}|ep{epochs}|n{n_train}x{n_val}|teacher:{tfp}"
+        key = ("torch2|" if stack == "torch" else "ours|") + objective + tag
+        if key in cache:
+            print(f"[{objective} seed {seed}] {stack} cached: "
+                  f"{cache[key]['final_acc']:.2f}%")
+            return cache[key]
+        t0 = time.time()
+        if stack == "torch":
+            r = torch_train_student(ref_cfg.replace(epochs=epochs), root,
+                                    teacher_path, objective, seed)
+        else:
+            r = ours_train_student(root, teacher_path, objective, seed,
+                                   epochs, args.workdir)
+        print(f"[{objective} seed {seed}] {stack} {r['final_acc']:.2f}% "
+              f"({time.time() - t0:.0f}s)")
+        cache[key] = r
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1)
+        return r
+
     results = {}
     for objective in objectives:
         for seed in args.seeds:
-            key = (f"{objective}|seed{seed}|ep{epochs}|n{n_train}x{n_val}"
-                   f"|teacher:{tfp}")
-            if key in cache:
-                results[(objective, seed)] = cache[key]
-                r = cache[key]
-                print(f"[{objective} seed {seed}] cached: torch "
-                      f"{r['torch']['final_acc']:.2f}% | ours "
-                      f"{r['ours']['final_acc']:.2f}%")
-                continue
-            t0 = time.time()
-            r_t = torch_train_student(ref_cfg.replace(epochs=epochs), root,
-                                      teacher_path, objective, seed)
-            t_torch = time.time() - t0
-            t0 = time.time()
-            r_o = ours_train_student(root, teacher_path, objective, seed,
-                                     epochs, args.workdir)
-            t_ours = time.time() - t0
-            results[(objective, seed)] = {"torch": r_t, "ours": r_o}
-            cache[key] = results[(objective, seed)]
-            with open(cache_path, "w") as f:
-                json.dump(cache, f, indent=1)
-            print(f"[{objective} seed {seed}] torch {r_t['final_acc']:.2f}% "
-                  f"({t_torch:.0f}s) | ours {r_o['final_acc']:.2f}% "
-                  f"({t_ours:.0f}s)")
+            results[(objective, seed)] = {"torch": _one("torch", objective, seed),
+                                          "ours": _one("ours", objective, seed)}
 
     # verdict: per objective, |mean delta| within the seed-noise band
     lines = ["# Outcome-level equivalence: torch stack vs production run()",
