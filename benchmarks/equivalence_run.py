@@ -653,60 +653,74 @@ def main() -> int:
             json.dump(cache, f, indent=1)
         return r
 
+    def _write_table(results, done_objectives, partial: bool) -> bool:
+        """Verdict per objective: |mean delta| within the seed-noise band.
+        Called after every completed objective (not just at the end) so a
+        long run interrupted by the session clock still leaves a committable
+        table covering the objectives it finished."""
+        lines = ["# Outcome-level equivalence: torch stack vs production run()",
+                 "",
+                 f"Dataset: {NUM_CLASSES}-class procedural textures, "
+                 f"{n_train}/{n_val} imgs/class train/val at {IMG_SRC}px, "
+                 f"input {INPUT}px. Teacher: dim128/depth6 distilled ViT, "
+                 f"torch-pretrained (shared weights via --teacher-checkpoint). "
+                 f"Student: dim64/depth4. {epochs} epochs, recipe: RRC(bicubic) "
+                 "+ flip + jitter 0.4 + erasing 0.25 + mixup 0.8/cutmix 1.0 + "
+                 "smoothing 0.1, AdamW lr 5e-4 cosine. RandAugment off on both "
+                 "sides (timm uninstallable here; torchvision RA has different "
+                 "op semantics — per-op PIL goldens cover RA instead).", ""]
+        if teacher_acc is not None:
+            lines.append(f"Teacher val top-1: {teacher_acc:.2f}%")
+            lines.append("")
+        lines += ["| objective | seed | torch final | ours final | torch best |"
+                  " ours best |",
+                  "|---|---|---|---|---|---|"]
+        ok = True
+        for objective in done_objectives:
+            t_acc = [results[(objective, s)]["torch"]["final_acc"]
+                     for s in args.seeds]
+            o_acc = [results[(objective, s)]["ours"]["final_acc"]
+                     for s in args.seeds]
+            for s in args.seeds:
+                r = results[(objective, s)]
+                lines.append(
+                    f"| {objective} | {s} | {r['torch']['final_acc']:.2f} "
+                    f"| {r['ours']['final_acc']:.2f} "
+                    f"| {r['torch']['best_acc']:.2f} "
+                    f"| {r['ours']['best_acc']:.2f} |")
+            delta = abs(float(np.mean(o_acc)) - float(np.mean(t_acc)))
+            spread = max(float(np.ptp(t_acc)), float(np.ptp(o_acc)))
+            band = max(1.5 * spread, 2.0)
+            verdict = "WITHIN" if delta <= band else "OUTSIDE"
+            ok = ok and delta <= band
+            lines.append(
+                f"| {objective} | mean | {np.mean(t_acc):.2f} "
+                f"| {np.mean(o_acc):.2f} | Δ={delta:.2f} "
+                f"| {verdict} band {band:.2f} |")
+        lines += ["",
+                  "Band = max(1.5 x max seed spread, 2.0 points). "
+                  f"Seeds: {args.seeds}. Generated by "
+                  "benchmarks/equivalence_run.py "
+                  f"on {time.strftime('%Y-%m-%d')}."]
+        if partial:
+            pending = [o for o in objectives if o not in done_objectives]
+            lines.append(f"PARTIAL: objectives still running: {pending}.")
+        lines.append("")
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        if not partial:
+            print("\n".join(lines))
+        return ok
+
     results = {}
-    for objective in objectives:
+    for i, objective in enumerate(objectives):
         for seed in args.seeds:
             results[(objective, seed)] = {"torch": _one("torch", objective, seed),
                                           "ours": _one("ours", objective, seed)}
+        done = objectives[:i + 1]
+        _write_table(results, done, partial=len(done) < len(objectives))
 
-    # verdict: per objective, |mean delta| within the seed-noise band
-    lines = ["# Outcome-level equivalence: torch stack vs production run()",
-             "",
-             f"Dataset: {NUM_CLASSES}-class procedural textures, "
-             f"{n_train}/{n_val} imgs/class train/val at {IMG_SRC}px, "
-             f"input {INPUT}px. Teacher: dim128/depth6 distilled ViT, "
-             f"torch-pretrained (shared weights via --teacher-checkpoint). "
-             f"Student: dim64/depth4. {epochs} epochs, recipe: RRC(bicubic) "
-             "+ flip + jitter 0.4 + erasing 0.25 + mixup 0.8/cutmix 1.0 + "
-             "smoothing 0.1, AdamW lr 5e-4 cosine. RandAugment off on both "
-             "sides (timm uninstallable here; torchvision RA has different "
-             "op semantics — per-op PIL goldens cover RA instead).", ""]
-    if teacher_acc is not None:
-        lines.append(f"Teacher val top-1: {teacher_acc:.2f}%")
-        lines.append("")
-    lines += ["| objective | seed | torch final | ours final | torch best |"
-              " ours best |",
-              "|---|---|---|---|---|---|"]
-    ok = True
-    for objective in objectives:
-        t_acc = [results[(objective, s)]["torch"]["final_acc"]
-                 for s in args.seeds]
-        o_acc = [results[(objective, s)]["ours"]["final_acc"]
-                 for s in args.seeds]
-        for s in args.seeds:
-            r = results[(objective, s)]
-            lines.append(
-                f"| {objective} | {s} | {r['torch']['final_acc']:.2f} "
-                f"| {r['ours']['final_acc']:.2f} "
-                f"| {r['torch']['best_acc']:.2f} "
-                f"| {r['ours']['best_acc']:.2f} |")
-        delta = abs(float(np.mean(o_acc)) - float(np.mean(t_acc)))
-        spread = max(float(np.ptp(t_acc)), float(np.ptp(o_acc)))
-        band = max(1.5 * spread, 2.0)
-        verdict = "WITHIN" if delta <= band else "OUTSIDE"
-        ok = ok and delta <= band
-        lines.append(
-            f"| {objective} | mean | {np.mean(t_acc):.2f} "
-            f"| {np.mean(o_acc):.2f} | Δ={delta:.2f} "
-            f"| {verdict} band {band:.2f} |")
-    lines += ["",
-              "Band = max(1.5 x max seed spread, 2.0 points). "
-              f"Seeds: {args.seeds}. Generated by benchmarks/equivalence_run.py "
-              f"on {time.strftime('%Y-%m-%d')}.",
-              ""]
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
-    print("\n".join(lines))
+    ok = _write_table(results, objectives, partial=False)
     print(f"\nwritten: {args.out}")
     print(json.dumps({"equivalent": ok}))
     return 0 if ok else 1
