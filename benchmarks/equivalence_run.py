@@ -718,7 +718,8 @@ def main() -> int:
             results[(objective, seed)] = {"torch": _one("torch", objective, seed),
                                           "ours": _one("ours", objective, seed)}
         done = objectives[:i + 1]
-        _write_table(results, done, partial=len(done) < len(objectives))
+        if len(done) < len(objectives):  # final emission happens below once
+            _write_table(results, done, partial=True)
 
     ok = _write_table(results, objectives, partial=False)
     print(f"\nwritten: {args.out}")

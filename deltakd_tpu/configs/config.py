@@ -158,11 +158,22 @@ class TrainConfig:
         tools/train.py:54-93,156-197) that this rebuild does not implement;
         failing loudly beats silently training a different recipe.
         """
-        if self.remode not in ("pixel", "const"):
+        if self.remode not in ("pixel", "const", "rand"):
             raise NotImplementedError(
-                f"--remode '{self.remode}' is not implemented ('pixel' and "
-                f"'const' are, timm RandomErasing surface, reference "
-                f"train.py:173; 'rand' per-region constants are not)")
+                f"--remode '{self.remode}' is not implemented ('pixel', "
+                f"'const', 'rand' are — the full timm RandomErasing mode "
+                f"surface the reference forwards, reference train.py:173, "
+                f"dataset/datasets.py:62-64)")
+        # Parse --aa eagerly so unsupported policy strings (AutoAugment
+        # 'original-*'/'v0', AugMix, non-increasing/weighted rand variants)
+        # reject at config time instead of silently training jitter-only
+        # (round-4 review finding #3). The reference would pass these to
+        # timm create_transform (reference dataset/datasets.py:56-64);
+        # RandAugmentConfig.parse documents exactly what is honored.
+        if self.aa:
+            from deltakd_tpu.data.augment import RandAugmentConfig
+
+            RandAugmentConfig.parse(self.aa)
         if self.recount < 1:
             raise ValueError("--recount must be >= 1 (reference train.py:175)")
         if self.resplit:

@@ -609,20 +609,57 @@ class RandAugmentConfig:
 
     @classmethod
     def parse(cls, spec: str) -> Optional["RandAugmentConfig"]:
-        """Parse timm policy strings like 'rand-m9-mstd0.5-inc1'."""
-        if not spec or not spec.startswith("rand"):
+        """Parse timm policy strings like 'rand-m9-mstd0.5-inc1'.
+
+        Strict by design: any spec this implementation would not honor with
+        timm's exact semantics raises instead of silently training a
+        different recipe (the round-4 review found non-'rand' specs fell
+        back to jitter-only with no warning). The op kernels here implement
+        timm's *increasing* (``inc1``) magnitude maps — the map the
+        reference's own recipes use (``rand-m9-mstd0.5-inc1``, reference
+        tools/train.py:156-160). Unsupported surface, rejected loudly:
+        AutoAugment/AugMix policy strings (``original*``/``v0*``/
+        ``augmix*``, timm auto_augment.py — a 25-subpolicy lookup table this
+        rebuild does not carry), non-increasing maps (``inc0``/absent:
+        timm's posterize/solarize/enhance severity maps differ), and
+        ``w#`` op-probability weight presets."""
+        if not spec:
             return None
+        if not spec.startswith("rand"):
+            raise NotImplementedError(
+                f"--aa '{spec}' is not implemented (timm RandAugment "
+                f"'rand-*' policies are; AutoAugment/AugMix policy tables "
+                f"are not — use e.g. 'rand-m9-mstd0.5-inc1', the "
+                f"reference's own recipe value, or '' to disable)")
         kw = {}
+        increasing = False
         for tok in spec.split("-")[1:]:
             if tok.startswith("mstd"):
                 kw["mstd"] = float(tok[4:])
-            elif tok.startswith("m"):
+            elif tok.startswith("inc"):
+                if tok != "inc1":
+                    raise NotImplementedError(
+                        f"--aa token '{tok}': only the increasing-severity "
+                        f"op set (inc1) is implemented; timm's "
+                        f"non-increasing posterize/solarize/enhance "
+                        f"magnitude maps differ")
+                increasing = True
+            elif tok.startswith("m") and tok[1:2].isdigit():
                 kw["magnitude"] = float(tok[1:])
-            elif tok.startswith("n"):
+            elif tok.startswith("n") and tok[1:2].isdigit():
                 kw["num_layers"] = int(tok[1:])
-            elif tok.startswith("p"):
+            elif tok.startswith("p") and tok[1:2].isdigit():
                 kw["prob"] = float(tok[1:])
-            # inc1 selects the increasing-severity op set (our default)
+            else:
+                raise NotImplementedError(
+                    f"--aa token '{tok}' in '{spec}' is not implemented "
+                    f"(m#/n#/p#/mstd#/inc1 are)")
+        if not increasing:
+            raise NotImplementedError(
+                f"--aa '{spec}' selects timm's non-increasing magnitude "
+                f"maps (no 'inc1' token); only the increasing maps are "
+                f"implemented — append '-inc1' (the reference's recipes "
+                f"all use it, reference tools/train.py:156-160)")
         return cls(**kw)
 
 
@@ -797,7 +834,12 @@ def random_erasing_batch(key: jax.Array, imgs: jax.Array, prob: float,
     RandomErasing(probability=reprob, mode=remode, max_count=recount)):
 
     - ``mode='pixel'``: boxes filled with per-pixel unit-normal noise;
-      ``mode='const'``: boxes zeroed (the input is already normalized).
+      ``mode='const'``: boxes zeroed (the input is already normalized);
+      ``mode='rand'``: each box filled with one random color — a
+      per-channel unit normal drawn per box, constant across the region
+      (timm random_erasing.py ``_get_pixels`` rand_color branch). timm
+      applies multiple erases sequentially, so where boxes overlap the
+      later box's color wins — reproduced by the select chain below.
     - ``max_count > 1``: per image, an erase count is drawn uniformly from
       ``[1, max_count]`` and each erase samples its own box with target area
       ``uniform(scale) · H·W / count`` (timm divides the area budget by the
@@ -829,11 +871,21 @@ def random_erasing_batch(key: jax.Array, imgs: jax.Array, prob: float,
     box = jnp.any(boxes, axis=1)  # union over the K candidate erases
     if mode == "const":
         fill = jnp.zeros_like(imgs)
-    else:
+    elif mode == "rand":
+        colors = jax.random.normal(k_noise, (B, K, C), jnp.float32)
+        fill = jnp.zeros_like(imgs)
+        for k in range(K):  # sequential: later boxes overwrite overlaps
+            fill = jnp.where(boxes[:, k, :, :, None],
+                             colors[:, k][:, None, None, :].astype(imgs.dtype),
+                             fill)
+    elif mode == "pixel":
         # generate at fp32 then cast so the bf16 pixel stage erases with the
         # same noise values (rounded) as the fp32 path — bit-identical augment
         # semantics modulo rounding, and the cast fuses into the generator
         fill = jax.random.normal(k_noise, imgs.shape, jnp.float32).astype(imgs.dtype)
+    else:
+        raise ValueError(f"unknown erasing mode '{mode}' "
+                         f"('pixel', 'const', 'rand' are implemented)")
     do = jax.random.bernoulli(k_do, prob, (B,))
     return jnp.where((do[:, None, None] & box)[..., None], fill, imgs)
 

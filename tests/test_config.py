@@ -47,18 +47,40 @@ def test_unhonored_flags_fail_loudly():
     """Flags the reference's timm surface honors but we do not implement must
     raise instead of silently changing the recipe (reference train.py:54-197)."""
     with pytest.raises(NotImplementedError):
-        parse_args(["--remode", "rand"])
+        parse_args(["--remode", "corner"])
     # --resplit is an accepted no-op WITH a warning: the reference parses it
     # but never forwards it to create_transform (dataset/datasets.py:56-64),
     # so a recipe passing it must keep running, exactly as it does upstream
     with pytest.warns(UserWarning, match="resplit"):
         assert parse_args(["--resplit"]).resplit
-    # implemented variants parse cleanly (round-4: lr-noise, const, recount)
+    # implemented variants parse cleanly (round-4: lr-noise, const, recount;
+    # round-5: remode rand)
     assert parse_args(["--lr-noise", "0.4", "0.8"]).lr_noise == (0.4, 0.8)
     assert parse_args(["--remode", "const"]).remode == "const"
+    assert parse_args(["--remode", "rand"]).remode == "rand"
     assert parse_args(["--recount", "3"]).recount == 3
     # defaults stay valid
     parse_args([])
+
+
+def test_unsupported_aa_specs_fail_loudly():
+    """Round-4 review finding #3: non-'rand' --aa specs used to silently
+    train jitter-only. The reference passes --aa straight to timm
+    create_transform (reference dataset/datasets.py:56-64), which honors
+    AutoAugment/AugMix tables we do not implement — those must reject at
+    config time, with the supported surface still parsing cleanly."""
+    for bad in ("original-mstd0.5", "v0", "augmix-m5-w3",
+                "rand-m9-mstd0.5",        # missing inc1: non-increasing maps
+                "rand-m9-mstd0.5-inc0",   # explicit non-increasing
+                "rand-m9-w0-inc1",        # op-probability weight presets
+                "rand-bogus7-inc1"):      # unknown token
+        with pytest.raises(NotImplementedError):
+            parse_args(["--aa", bad])
+    # the reference's own recipe value and the disable spelling stay valid
+    assert parse_args(["--aa", "rand-m9-mstd0.5-inc1"]).aa == \
+        "rand-m9-mstd0.5-inc1"
+    assert parse_args(["--aa", "rand-m7-n3-p0.7-mstd1.0-inc1"]).aa
+    assert parse_args(["--aa", ""]).aa == ""
 
 
 def test_random_teacher_requires_explicit_flag(tmp_path):

@@ -604,6 +604,33 @@ def test_random_erasing_recount_multiple_boxes():
     assert max(frac) <= 4 * (1 / 3) + 0.05
 
 
+def test_random_erasing_rand_mode_per_region_color():
+    """mode='rand' (timm _get_pixels rand_color branch): each erase box is
+    one random per-channel constant — uniform across the region, different
+    across boxes/images, and not per-pixel noise."""
+    imgs = jnp.full((16, 32, 32, 3), 7.5, jnp.float32)
+    out = np.asarray(A.random_erasing_batch(
+        jax.random.PRNGKey(5), imgs, prob=1.0, mode="rand"))
+    changed = ~np.isclose(out, 7.5)
+    assert changed.any()
+    colors = []
+    for b in range(16):
+        mask = changed[b, :, :, 0]
+        if not mask.any():
+            continue
+        region = out[b][mask]          # [n_pix, 3]
+        # constant per channel inside the box (the defining rand-vs-pixel
+        # difference), and channels differ from each other (a color, not a
+        # scalar broadcast)
+        assert np.allclose(region, region[0], atol=1e-6)
+        colors.append(region[0])
+    colors = np.stack(colors)
+    assert len(colors) >= 2
+    # unit-normal colors: boxes differ from each other and are not all zero
+    assert np.ptp(colors, axis=0).max() > 0.1
+    assert np.abs(colors).max() > 0.1
+
+
 def test_random_erasing_recount1_matches_default_path():
     imgs = jnp.ones((4, 32, 32, 3), jnp.float32)
     a = A.random_erasing_batch(jax.random.PRNGKey(3), imgs, prob=0.5)
