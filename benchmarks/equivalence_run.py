@@ -21,17 +21,35 @@ top-1 — with the augmentation pipeline *in the loop*:
 Both stacks consume the same ImageFolder tree (procedurally generated,
 class-structured 96px textures), the same torch-pretrained teacher weights,
 and the same hyperparameters (read from one parsed TrainConfig so they cannot
-diverge). RandAugment is disabled on both sides: timm is not installed here
-and torchvision's RandAugment uses different op semantics, so including it
-would compare two *different* recipes rather than two implementations of one
-(our RA ops carry per-op PIL goldens in tests/test_data.py instead).
+diverge).
+
+Three recipes (``--recipe``):
+
+* ``base``: RRC + flip + jitter + erasing (no RandAugment) — the historical
+  table, isolates the core pipeline.
+* ``ra``: the reference's *default* training distribution —
+  ``--aa rand-m9-mstd0.5-inc1`` (reference tools/train.py:156-160). The torch
+  side runs :class:`HostRandAugment`, a timm-semantic RandAugment written
+  directly on PIL/ImageOps (timm itself is not installed; torchvision's RA
+  has different op semantics). timm disables color-jitter when ``--aa`` is
+  set, so both sides drop jitter here. This puts the single largest rewrite
+  in this framework — the composed-warp on-device RA with its documented
+  op-order/geometry deviations — inside a trained-through accuracy
+  comparison (round-4 verdict item 1).
+* ``3aug``: DeiT-III 3-Augment with ``--ThreeAugment --src`` (reference
+  tools/augment.py:18-117): resize + reflect-padded RandomCrop + flip +
+  RandomChoice{grayscale, solarize, blur} + jitter, no erasing.
 
 Usage:
-    python benchmarks/equivalence_run.py                  # full run (~1 h CPU)
+    python benchmarks/equivalence_run.py                  # base (~1 h CPU)
+    python benchmarks/equivalence_run.py --recipe ra --objective both
     python benchmarks/equivalence_run.py --quick          # smoke (~10 min)
-    python benchmarks/equivalence_run.py --objective soft --seeds 0 1
+    python benchmarks/equivalence_run.py --objective soft --seeds 0 1 2
 
-Writes benchmarks/EQUIVALENCE.md with the result table.
+Writes benchmarks/EQUIVALENCE.md (base) / EQUIVALENCE_RA.md /
+EQUIVALENCE_3AUG.md with the result table; ``--ours-pixel-bf16`` flips the
+production pipeline's bf16 pixel stage on (ours side only) and writes
+``*_BF16.md`` — the recipe-safety probe for that flag.
 """
 
 from __future__ import annotations
@@ -133,17 +151,111 @@ def dataset_matches(root: str, n_train: int, n_val: int) -> bool:
 # torch stack
 # ---------------------------------------------------------------------------
 
+class HostRandAugment:
+    """timm-semantic RandAugment (``rand-m9-mstd0.5-inc1``) written directly
+    on PIL/ImageOps — the layer timm wraps (timm is not installed in this
+    image; tests/test_data.py:27-58 already golden-matches our on-device op
+    kernels against these exact PIL primitives). Semantics follow timm
+    auto_augment.py: ``num_layers`` draws, each op uniform over the
+    15-entry increasing-transform table, gated by ``prob``, magnitude
+    ``gauss(m, mstd)`` clipped to [0, 10], increasing level→arg maps,
+    bicubic resampling for geometric ops (the recipe's --interpolation),
+    dataset-mean fill."""
+
+    def __init__(self, rng: np.random.RandomState, magnitude=9.0, mstd=0.5,
+                 num_layers=2, prob=0.5):
+        self.rng = rng
+        self.m, self.mstd = magnitude, mstd
+        self.num_layers, self.prob = num_layers, prob
+        self.fill = tuple(min(255, round(255 * m)) for m in MEAN)
+
+    def _neg(self, v):
+        return -v if self.rng.rand() < 0.5 else v
+
+    def _enhance(self, img, enhancer, m):
+        from PIL import ImageEnhance
+
+        factor = max(0.1, 1.0 + self._neg(m / 10.0 * 0.9))
+        return getattr(ImageEnhance, enhancer)(img).enhance(factor)
+
+    def _affine(self, img, data):
+        from PIL import Image
+
+        return img.transform(img.size, Image.AFFINE, data, Image.BICUBIC,
+                             fillcolor=self.fill)
+
+    def _apply_op(self, img, op, m):
+        from PIL import Image, ImageOps
+
+        W, H = img.size
+        if op == 0:
+            return ImageOps.autocontrast(img)
+        if op == 1:
+            return ImageOps.equalize(img)
+        if op == 2:
+            return ImageOps.invert(img)
+        if op == 3:  # Rotate
+            return img.rotate(self._neg(m / 10.0 * 30.0), Image.BICUBIC,
+                              fillcolor=self.fill)
+        if op == 4:  # PosterizeIncreasing; clamp to >=1 bit like our kernel
+            return ImageOps.posterize(img, max(1, 4 - int(m / 10.0 * 4)))
+        if op == 5:  # SolarizeIncreasing
+            return ImageOps.solarize(img, 256 - int(m / 10.0 * 256))
+        if op == 6:  # SolarizeAdd (threshold 128)
+            arr = np.asarray(img, np.int16)
+            add = int(m / 10.0 * 110)
+            arr = np.where(arr < 128, np.clip(arr + add, 0, 255), arr)
+            return Image.fromarray(arr.astype(np.uint8))
+        if op == 7:
+            return self._enhance(img, "Color", m)
+        if op == 8:
+            return self._enhance(img, "Contrast", m)
+        if op == 9:
+            return self._enhance(img, "Brightness", m)
+        if op == 10:
+            return self._enhance(img, "Sharpness", m)
+        if op == 11:  # ShearX
+            return self._affine(img, (1, self._neg(m / 10.0 * 0.3), 0,
+                                      0, 1, 0))
+        if op == 12:  # ShearY
+            return self._affine(img, (1, 0, 0,
+                                      self._neg(m / 10.0 * 0.3), 1, 0))
+        if op == 13:  # TranslateXRel (pct 0.45)
+            return self._affine(img, (1, 0, self._neg(m / 10.0 * 0.45 * W),
+                                      0, 1, 0))
+        # 14: TranslateYRel
+        return self._affine(img, (1, 0, 0,
+                                  0, 1, self._neg(m / 10.0 * 0.45 * H)))
+
+    def __call__(self, img):
+        for _ in range(self.num_layers):
+            op = self.rng.randint(0, 15)
+            if self.rng.rand() > self.prob:
+                continue
+            m = float(np.clip(self.rng.normal(self.m, self.mstd), 0.0, 10.0))
+            img = self._apply_op(img, op, m)
+        return img
+
+
 class HostPipeline:
     """The torchvision/timm host transform stack, written directly on PIL
     (torchvision is not installed in this image; it wraps exactly these PIL
     calls). Semantics follow torchvision's documented algorithms:
     RandomResizedCrop (scale (0.08,1), log-ratio (3/4,4/3), 10 tries then
     center fallback), RandomHorizontalFlip, ColorJitter via ImageEnhance in
-    random order, Normalize, RandomErasing(value='random')."""
+    random order, Normalize, RandomErasing(value='random'). ``recipe`` picks
+    the aug stack between RRC+flip and normalize: 'base' = ColorJitter;
+    'ra' = HostRandAugment, jitter off (timm drops jitter when --aa is set,
+    timm transforms_factory.py); '3aug' = reference tools/augment.py:84-117
+    (resize + reflect-pad RandomCrop + flip + RandomChoice{gray, solarize,
+    blur} + jitter, no erasing)."""
 
-    def __init__(self, train: bool, rng: np.random.RandomState):
+    def __init__(self, train: bool, rng: np.random.RandomState,
+                 recipe: str = "base"):
         self.train = train
         self.rng = rng
+        self.recipe = recipe
+        self.ra = HostRandAugment(rng) if (train and recipe == "ra") else None
 
     def _rrc(self, img):
         from PIL import Image
@@ -176,15 +288,52 @@ class HostPipeline:
             img = ops[i](img).enhance(f)
         return img
 
+    def _src_crop(self, img):
+        """reference tools/augment.py:91-96 (--src): Resize(S, bicubic) +
+        RandomCrop(S, padding=4, padding_mode='reflect')."""
+        from PIL import Image
+
+        W, H = img.size
+        scale = INPUT / min(W, H)
+        img = img.resize((round(W * scale), round(H * scale)), Image.BICUBIC)
+        arr = np.pad(np.asarray(img), ((4, 4), (4, 4), (0, 0)),
+                     mode="reflect")
+        top = self.rng.randint(0, arr.shape[0] - INPUT + 1)
+        left = self.rng.randint(0, arr.shape[1] - INPUT + 1)
+        return Image.fromarray(arr[top:top + INPUT, left:left + INPUT])
+
+    def _three_aug_choice(self, img):
+        """RandomChoice{Grayscale(3), Solarization(128), GaussianBlur} —
+        reference tools/augment.py:18-64,105-107."""
+        from PIL import ImageFilter, ImageOps
+
+        pick = self.rng.randint(0, 3)
+        if pick == 0:
+            return img.convert("L").convert("RGB")
+        if pick == 1:
+            return ImageOps.solarize(img)
+        return img.filter(ImageFilter.GaussianBlur(
+            radius=self.rng.uniform(0.1, 2.0)))
+
     def __call__(self, img):
         import torch
         from PIL import Image
 
         if self.train:
-            img = self._rrc(img)
-            if self.rng.rand() < 0.5:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            img = self._jitter(img)
+            if self.recipe == "3aug":
+                img = self._src_crop(img)
+                if self.rng.rand() < 0.5:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                img = self._three_aug_choice(img)
+                img = self._jitter(img)
+            else:
+                img = self._rrc(img)
+                if self.rng.rand() < 0.5:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                if self.ra is not None:
+                    img = self.ra(img)
+                else:
+                    img = self._jitter(img)
         else:
             W, H = img.size
             size = int(INPUT / 0.875)
@@ -197,7 +346,9 @@ class HostPipeline:
         x = torch.from_numpy(
             np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
         x = (x - torch.tensor(MEAN)[:, None, None]) /             torch.tensor(STD)[:, None, None]
-        if self.train and self.rng.rand() < 0.25:
+        # no RandomErasing under 3-Augment (the reference swaps the whole
+        # transform for new_data_aug_generator, which has none)
+        if self.train and self.recipe != "3aug" and self.rng.rand() < 0.25:
             # RandomErasing: scale (0.02, 1/3), log-ratio (0.3, 3.3), noise fill
             for _ in range(10):
                 target = INPUT * INPUT * self.rng.uniform(0.02, 1 / 3)
@@ -390,17 +541,19 @@ def _timm_init(model) -> None:
 
 
 def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
-                        seed: int) -> dict:
+                        seed: int, recipe: str = "base") -> dict:
     """The torch analogue of run(): host transforms -> TorchViT -> reference
     loss combine -> AdamW/cosine -> center-crop eval."""
     import torch
     import torch.nn as nn
 
-    from torch_ref import TorchViT, torch_mgd, torch_soft_kd, torch_wasskd_l1
+    from torch_ref import (TorchViT, torch_mgd, torch_soft_kd, torch_vitkd,
+                           torch_wasskd_l1)
 
     torch.manual_seed(seed)
-    train_ds = FolderDataset(os.path.join(root, "train"),
-                             HostPipeline(True, np.random.RandomState(seed)))
+    train_ds = FolderDataset(
+        os.path.join(root, "train"),
+        HostPipeline(True, np.random.RandomState(seed), recipe))
     val_ds = FolderDataset(os.path.join(root, "val"),
                            HostPipeline(False, np.random.RandomState(0)))
     g = torch.Generator().manual_seed(seed)
@@ -433,6 +586,17 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
         wass_aligns = [nn.Linear(64, 128) for _ in range(3)]
         aux_mods = list(wass_aligns)
         aux_params = [p for m in wass_aligns for p in m.parameters()]
+    elif objective == "vitkd":
+        # reference model/models.py:76-88 — blocks 0,1 mimicking aligns +
+        # block-11 generation head (mask_token fill + 2 convs)
+        align2 = [nn.Linear(64, 128) for _ in range(2)]
+        align = nn.Linear(64, 128)
+        mask_token = nn.Parameter(torch.zeros(1, 1, 128))
+        gen1 = nn.Conv2d(128, 128, 3, padding=1)
+        gen2 = nn.Conv2d(128, 128, 3, padding=1)
+        aux_mods = align2 + [align, gen1, gen2]
+        aux_params = ([p for m in aux_mods for p in m.parameters()]
+                      + [mask_token])
     else:
         aux_params = []
 
@@ -454,7 +618,7 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
             x, targets = mixup(x, y)
             with torch.no_grad():
                 t_logits = teacher(x)
-                if objective in ("mgd", "wasskd"):
+                if objective in ("mgd", "wasskd", "vitkd"):
                     _, _, t_feats = teacher.forward_with_features(x)
             cls_logits, dist_logits, s_feats = student.forward_with_features(x)
             base = _soft_ce(cls_logits, targets)
@@ -464,6 +628,11 @@ def torch_train_student(cfg, root: str, teacher_path: str, objective: str,
             elif objective == "wasskd":
                 distill = torch_wasskd_l1(s_feats, t_feats, wass_aligns)
                 loss = base + distill * 5.0  # reference loss.py:226
+            elif objective == "vitkd":
+                noise = torch.rand(x.shape[0], s_feats[-1].shape[1] - 1)
+                distill = torch_vitkd(s_feats, t_feats, align2, align,
+                                      mask_token, gen1, gen2, noise)
+                loss = base + distill  # additive early-return, loss.py:78
             else:
                 noise = torch.rand(x.shape[0],
                                    s_feats[-1].shape[1] - 1)
@@ -501,11 +670,15 @@ def _register_harness_entries() -> None:
 
 
 def make_cfg(root: str, teacher_path: str, objective: str, seed: int,
-             epochs: int, workdir: str):
+             epochs: int, workdir: str, recipe: str = "base",
+             pixel_bf16: bool = False):
     from deltakd_tpu.configs import parse_args
 
     student = STUDENT_SOFT if objective == "soft" else STUDENT_PLAIN
-    return parse_args([
+    run_id = f"ours_{objective}_{seed}" + \
+        ("" if recipe == "base" else f"_{recipe}") + \
+        ("_bf16" if pixel_bf16 else "")
+    argv = [
         "--dataset", "texture8", "--data-path", root,
         "--input-size", str(INPUT), "--batch-size", "64",
         "--epochs", str(epochs), "--warmup-epochs", "3",
@@ -513,22 +686,33 @@ def make_cfg(root: str, teacher_path: str, objective: str, seed: int,
         "--weight-decay", "0.05", "--dtype", "float32",
         "--prng-impl", "threefry2x32",
         "--drop-path-rate", "0.0",
-        "--aa", "", "--color-jitter", "0.4", "--reprob", "0.25",
+        # recipe: 'ra' = the reference's default --aa (timm then ignores
+        # --color-jitter); '3aug' swaps the transform like reference
+        # train.py:261-262 (from_config ignores --aa/--reprob under it)
+        "--aa", "rand-m9-mstd0.5-inc1" if recipe == "ra" else "",
+        "--color-jitter", "0.4", "--reprob", "0.25",
         "--mixup", "0.8", "--cutmix", "1.0", "--smoothing", "0.1",
         "--interpolation", "bicubic", "--no-repeated-aug",
         "--distillation-type", objective,
         "--student-model", student, "--teacher-model", TEACHER,
         "--teacher-checkpoint", teacher_path,
         "--seed", str(seed),
-        "--log-file", os.path.join(workdir, f"ours_{objective}_{seed}.log"),
-        "--save-dir", os.path.join(workdir, f"ours_{objective}_{seed}")])
+        "--log-file", os.path.join(workdir, f"{run_id}.log"),
+        "--save-dir", os.path.join(workdir, run_id)]
+    if recipe == "3aug":
+        argv += ["--ThreeAugment", "--src"]
+    if pixel_bf16:
+        argv += ["--aug-pixel-bf16"]
+    return parse_args(argv)
 
 
 def ours_train_student(root: str, teacher_path: str, objective: str,
-                       seed: int, epochs: int, workdir: str) -> dict:
+                       seed: int, epochs: int, workdir: str,
+                       recipe: str = "base", pixel_bf16: bool = False) -> dict:
     from deltakd_tpu.train.loop import run
 
-    cfg = make_cfg(root, teacher_path, objective, seed, epochs, workdir)
+    cfg = make_cfg(root, teacher_path, objective, seed, epochs, workdir,
+                   recipe, pixel_bf16)
     metrics = run(cfg)
     return {"final_acc": metrics["val_acc1"],
             "best_acc": metrics["best_val_acc"]}
@@ -563,17 +747,34 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs/data for a smoke run")
     ap.add_argument("--objective",
-                    choices=["soft", "mgd", "wasskd", "both", "all"],
+                    choices=["soft", "mgd", "wasskd", "vitkd", "both", "all"],
                     default="both",
                     help="'both' = soft+mgd (historical); 'all' adds wasskd "
-                         "(l1), which puts the sorted-L1/bitonic machinery "
-                         "in the training loop")
+                         "(l1: sorted-L1/bitonic machinery) and vitkd "
+                         "(random_masking + mask_token fill + conv "
+                         "generation head)")
+    ap.add_argument("--recipe", choices=["base", "ra", "3aug"],
+                    default="base",
+                    help="augmentation recipe on BOTH stacks: base = "
+                         "RRC+flip+jitter+erasing; ra = the reference "
+                         "default --aa rand-m9-mstd0.5-inc1; 3aug = "
+                         "--ThreeAugment --src")
+    ap.add_argument("--ours-pixel-bf16", action="store_true",
+                    help="run the production side with --aug-pixel-bf16 "
+                         "(recipe-safety probe; torch side stays fp32)")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--workdir", default="/tmp/deltakd_equivalence")
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "EQUIVALENCE.md"))
+    ap.add_argument("--out", default=None,
+                    help="output table path (default: EQUIVALENCE.md with "
+                         "recipe/bf16 suffixes)")
     args = ap.parse_args()
+    if args.out is None:
+        suffix = {"base": "", "ra": "_RA", "3aug": "_3AUG"}[args.recipe]
+        if args.ours_pixel_bf16:
+            suffix += "_BF16"
+        args.out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                f"EQUIVALENCE{suffix}.md")
 
     import jax
 
@@ -584,8 +785,8 @@ def main() -> int:
     epochs = args.epochs or (6 if args.quick else 40)
     teacher_epochs = 4 if args.quick else 30
     objectives = {"both": ["soft", "mgd"],
-                  "all": ["soft", "mgd", "wasskd"]}.get(args.objective,
-                                                        [args.objective])
+                  "all": ["soft", "mgd", "wasskd", "vitkd"]}.get(
+                      args.objective, [args.objective])
 
     root = os.path.join(args.workdir, "data")
     os.makedirs(args.workdir, exist_ok=True)
@@ -604,7 +805,7 @@ def main() -> int:
         generate_dataset(root, n_train, n_val, seed=0)
 
     # one parsed config is the single source of hyperparameters for BOTH sides
-    ref_cfg = make_cfg(root, "", "soft", 0, epochs, args.workdir)
+    ref_cfg = make_cfg(root, "", "soft", 0, epochs, args.workdir, args.recipe)
 
     teacher_path = os.path.join(args.workdir, "teacher.pth")
     teacher_acc_path = os.path.join(args.workdir, "teacher_acc.json")
@@ -634,7 +835,10 @@ def main() -> int:
 
     def _one(stack: str, objective: str, seed: int) -> dict:
         tag = f"|seed{seed}|ep{epochs}|n{n_train}x{n_val}|teacher:{tfp}"
-        key = ("torch2|" if stack == "torch" else "ours|") + objective + tag
+        rec = "" if args.recipe == "base" else f"|{args.recipe}"
+        bf = "|bf16" if (stack == "ours" and args.ours_pixel_bf16) else ""
+        key = (("torch2|" if stack == "torch" else "ours|")
+               + objective + rec + bf + tag)
         if key in cache:
             print(f"[{objective} seed {seed}] {stack} cached: "
                   f"{cache[key]['final_acc']:.2f}%")
@@ -642,10 +846,12 @@ def main() -> int:
         t0 = time.time()
         if stack == "torch":
             r = torch_train_student(ref_cfg.replace(epochs=epochs), root,
-                                    teacher_path, objective, seed)
+                                    teacher_path, objective, seed,
+                                    args.recipe)
         else:
             r = ours_train_student(root, teacher_path, objective, seed,
-                                   epochs, args.workdir)
+                                   epochs, args.workdir, args.recipe,
+                                   args.ours_pixel_bf16)
         print(f"[{objective} seed {seed}] {stack} {r['final_acc']:.2f}% "
               f"({time.time() - t0:.0f}s)")
         cache[key] = r
@@ -658,17 +864,31 @@ def main() -> int:
         Called after every completed objective (not just at the end) so a
         long run interrupted by the session clock still leaves a committable
         table covering the objectives it finished."""
+        recipe_desc = {
+            "base": "RRC(bicubic) + flip + jitter 0.4 + erasing 0.25 "
+                    "(RandAugment off — the RA recipe has its own table, "
+                    "EQUIVALENCE_RA.md)",
+            "ra": "RRC(bicubic) + flip + RandAugment rand-m9-mstd0.5-inc1 "
+                  "(the reference's default --aa; jitter off per timm) + "
+                  "erasing 0.25 — torch side runs a timm-semantic PIL "
+                  "RandAugment (HostRandAugment), ours the on-device "
+                  "composed-warp RA",
+            "3aug": "--ThreeAugment --src: resize + reflect-pad RandomCrop "
+                    "+ flip + RandomChoice{gray, solarize, blur} + jitter "
+                    "0.4, no erasing (reference tools/augment.py)",
+        }[args.recipe]
+        bf16_note = (" Production side runs --aug-pixel-bf16 (torch side "
+                     "fp32) — a recipe-safety probe for that flag."
+                     if args.ours_pixel_bf16 else "")
         lines = ["# Outcome-level equivalence: torch stack vs production run()",
                  "",
                  f"Dataset: {NUM_CLASSES}-class procedural textures, "
                  f"{n_train}/{n_val} imgs/class train/val at {IMG_SRC}px, "
                  f"input {INPUT}px. Teacher: dim128/depth6 distilled ViT, "
                  f"torch-pretrained (shared weights via --teacher-checkpoint). "
-                 f"Student: dim64/depth4. {epochs} epochs, recipe: RRC(bicubic) "
-                 "+ flip + jitter 0.4 + erasing 0.25 + mixup 0.8/cutmix 1.0 + "
-                 "smoothing 0.1, AdamW lr 5e-4 cosine. RandAugment off on both "
-                 "sides (timm uninstallable here; torchvision RA has different "
-                 "op semantics — per-op PIL goldens cover RA instead).", ""]
+                 f"Student: dim64/depth4. {epochs} epochs, recipe: "
+                 f"{recipe_desc} + mixup 0.8/cutmix 1.0 + smoothing 0.1, "
+                 f"AdamW lr 5e-4 cosine.{bf16_note}", ""]
         if teacher_acc is not None:
             lines.append(f"Teacher val top-1: {teacher_acc:.2f}%")
             lines.append("")
@@ -690,7 +910,11 @@ def main() -> int:
                     f"| {r['ours']['best_acc']:.2f} |")
             delta = abs(float(np.mean(o_acc)) - float(np.mean(t_acc)))
             spread = max(float(np.ptp(t_acc)), float(np.ptp(o_acc)))
-            band = max(1.5 * spread, 2.0)
+            # capped at 3 points: with 2 seeds the spread-scaled band
+            # inflated to 5.86 on soft (round-4 review) — wide enough to
+            # miss a real regression. ≥3 seeds keep the mean estimate
+            # tight enough for the cap to be meaningful.
+            band = max(2.0, min(1.5 * spread, 3.0))
             verdict = "WITHIN" if delta <= band else "OUTSIDE"
             ok = ok and delta <= band
             lines.append(
@@ -698,10 +922,10 @@ def main() -> int:
                 f"| {np.mean(o_acc):.2f} | Δ={delta:.2f} "
                 f"| {verdict} band {band:.2f} |")
         lines += ["",
-                  "Band = max(1.5 x max seed spread, 2.0 points). "
+                  "Band = max(2.0, min(1.5 x max seed spread, 3.0)) points. "
                   f"Seeds: {args.seeds}. Generated by "
                   "benchmarks/equivalence_run.py "
-                  f"on {time.strftime('%Y-%m-%d')}."]
+                  f"(--recipe {args.recipe}) on {time.strftime('%Y-%m-%d')}."]
         if partial:
             pending = [o for o in objectives if o not in done_objectives]
             lines.append(f"PARTIAL: objectives still running: {pending}.")
