@@ -19,7 +19,7 @@ import numpy as np
 
 
 def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
-               steps: int = 10) -> float:
+               steps: int = 10, fused: bool = True) -> float:
     from deltakd_tpu.configs import TrainConfig
     from deltakd_tpu.data.augment import AugmentConfig
     from deltakd_tpu.data.mixup import MixupConfig
@@ -38,8 +38,11 @@ def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
                       drop_path_rate=0.1, epochs=300, wasskd_type=wasskd_type)
     from deltakd_tpu.models.registry import get_model_config
 
-    attn = best_attention_fn(True)
-    block_fn = best_block_fn(True)
+    # fused=False measures the unfused-module path — the per-chip cost a user
+    # pays under a model (TP) axis, where the kernels auto-gate off
+    # (ops/fused_block.py best_block_fn docstring; docs/PARITY.md TP note).
+    attn = best_attention_fn(fused)
+    block_fn = best_block_fn(fused)
     collect = feature_indices(
         dtype_name, get_model_config("deit_tiny_patch16_224",
                                      num_classes=100).depth)
@@ -51,7 +54,7 @@ def bench_type(dtype_name: str, batch_size: int, wasskd_type: str = "l1",
                            collect_features=collect)
     teacher = create_model("deit_small_distilled_patch16_224", num_classes=100,
                            img_size=224, dtype=jnp.bfloat16, attention_fn=attn,
-                           mlp_fn=best_mlp_fn(True), block_fn=block_fn,
+                           mlp_fn=best_mlp_fn(fused), block_fn=block_fn,
                            collect_features=collect)
     sp = init_params(student, jax.random.PRNGKey(1))
     tp = init_params(teacher, jax.random.PRNGKey(2))
@@ -89,13 +92,15 @@ def main():
     parser.add_argument("--types", nargs="+", default=[
         "none", "soft", "hard", "mgd", "vitkd", "lrkd", "diffkd", "curkd",
         "saliency_mgd", "wasskd"])
+    parser.add_argument("--no-fused", action="store_true",
+                        help="unfused module path (the TP-mesh fallback)")
     args = parser.parse_args()
     for t in args.types:
         if t == "wasskd":
-            bench_type(t, args.batch_size, "l1")
-            bench_type(t, args.batch_size, "sinkhorn")
+            bench_type(t, args.batch_size, "l1", fused=not args.no_fused)
+            bench_type(t, args.batch_size, "sinkhorn", fused=not args.no_fused)
         else:
-            bench_type(t, args.batch_size)
+            bench_type(t, args.batch_size, fused=not args.no_fused)
 
 
 if __name__ == "__main__":
