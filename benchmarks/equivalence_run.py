@@ -701,8 +701,10 @@ def make_cfg(root: str, teacher_path: str, objective: str, seed: int,
         "--save-dir", os.path.join(workdir, run_id)]
     if recipe == "3aug":
         argv += ["--ThreeAugment", "--src"]
-    if pixel_bf16:
-        argv += ["--aug-pixel-bf16"]
+    # Pin the pixel-stage dtype explicitly: the torch side is fp32, so the
+    # default comparison must run ours fp32 too regardless of the production
+    # default (bf16 since round 5); the bf16 probe opts in deliberately.
+    argv += ["--aug-pixel-bf16" if pixel_bf16 else "--no-aug-pixel-bf16"]
     return parse_args(argv)
 
 

@@ -136,8 +136,12 @@ class TrainConfig:
     grad_accum_steps: int = 1      # micro-batches per optimizer step (global
     # batch = batch_size × data_axis × grad_accum_steps; single-chip stand-in
     # for the reference's multi-GPU global batches)
-    aug_pixel_bf16: bool = False   # post-resample pixel augmentation ops in
-    # bf16 (halves their HBM traffic; ±1/255 pixel tolerance)
+    aug_pixel_bf16: bool = True    # post-resample pixel augmentation ops in
+    # bf16 (halves their HBM traffic; ±1/255 pixel tolerance, bounded by the
+    # PIL-style integer quantization after the geometric stage). Default ON
+    # since round 5: recipe-safety evidenced at outcome level under the
+    # reference's default RandAugment recipe (benchmarks/EQUIVALENCE_RA_BF16.md
+    # — within band of the fp32 torch stack); opt out: --no-aug-pixel-bf16.
     allow_random_teacher: bool = False  # permit KD against an uninitialized
     # teacher (tests/ablation only; reference always loads pretrained weights,
     # reference model/models.py:60-63)
@@ -316,7 +320,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--data-loader", type=str, default=d.data_loader,
                         choices=["python", "tfdata"])
     parser.add_argument("--grad-accum-steps", type=int, default=d.grad_accum_steps)
-    parser.add_argument("--aug-pixel-bf16", action="store_true", default=False)
+    parser.add_argument("--aug-pixel-bf16", action=argparse.BooleanOptionalAction,
+                        default=d.aug_pixel_bf16)
     parser.add_argument("--allow-random-teacher", action="store_true", default=False)
     return parser
 

@@ -59,6 +59,10 @@ def test_unhonored_flags_fail_loudly():
     assert parse_args(["--remode", "const"]).remode == "const"
     assert parse_args(["--remode", "rand"]).remode == "rand"
     assert parse_args(["--recount", "3"]).recount == 3
+    # round-5: bf16 pixel stage default ON (recipe-safety evidenced in
+    # benchmarks/EQUIVALENCE_RA_BF16.md), with an explicit off-switch
+    assert parse_args([]).aug_pixel_bf16 is True
+    assert parse_args(["--no-aug-pixel-bf16"]).aug_pixel_bf16 is False
     # defaults stay valid
     parse_args([])
 
