@@ -169,15 +169,16 @@ class TrainConfig:
                 f"surface the reference forwards, reference train.py:173, "
                 f"dataset/datasets.py:62-64)")
         # Parse --aa eagerly so unsupported policy strings (AutoAugment
-        # 'original-*'/'v0', AugMix, non-increasing/weighted rand variants)
-        # reject at config time instead of silently training jitter-only
-        # (round-4 review finding #3). The reference would pass these to
-        # timm create_transform (reference dataset/datasets.py:56-64);
-        # RandAugmentConfig.parse documents exactly what is honored.
+        # 'v0'/'originalr'/'3a', AugMix, non-increasing/weighted rand
+        # variants) reject at config time instead of silently training
+        # jitter-only (round-4 review finding #3). The reference would pass
+        # these to timm create_transform (reference dataset/datasets.py:
+        # 56-64); parse_aa_spec documents exactly what is honored
+        # (RandAugment 'rand-*-inc1' and AutoAugment 'original[-mstd#]').
         if self.aa:
-            from deltakd_tpu.data.augment import RandAugmentConfig
+            from deltakd_tpu.data.augment import parse_aa_spec
 
-            RandAugmentConfig.parse(self.aa)
+            parse_aa_spec(self.aa)
         if self.recount < 1:
             raise ValueError("--recount must be >= 1 (reference train.py:175)")
         if self.resplit:

@@ -457,14 +457,23 @@ def _enhance_factor(m, key, batch_shape=()):
     return 1.0 + sign * (jnp.asarray(m) / 10.0) * 0.9
 
 
-def op_color(img, m, key, fill):
-    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
+def _aa_enhance_factor(level):
+    """timm non-increasing enhance arg (AutoAugment policies):
+    (level/10)·1.8 + 0.1, deterministic — no random sign."""
+    return jnp.asarray(level) / 10.0 * 1.8 + 0.1
+
+
+def _color_core(img, factor):
     gray = jnp.sum(img * _GRAY.astype(img.dtype), axis=-1, keepdims=True)
     return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
 
 
-def op_contrast(img, m, key, fill):
-    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
+def op_color(img, m, key, fill):
+    return _color_core(
+        img, _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img))
+
+
+def _contrast_core(img, factor):
     gray = jnp.sum(img * _GRAY.astype(img.dtype), axis=-1)
     mean = jnp.round(jnp.mean(jnp.floor(gray.astype(jnp.float32)),
                               axis=(-2, -1)))  # [B] or scalar
@@ -472,9 +481,18 @@ def op_contrast(img, m, key, fill):
                                         img.shape), factor)
 
 
-def op_brightness(img, m, key, fill):
-    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img)
+def op_contrast(img, m, key, fill):
+    return _contrast_core(
+        img, _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img))
+
+
+def _brightness_core(img, factor):
     return _blend(img, jnp.zeros_like(img), factor)
+
+
+def op_brightness(img, m, key, fill):
+    return _brightness_core(
+        img, _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), img))
 
 
 def _depthwise_3x3(x: jax.Array, kernel9: np.ndarray) -> jax.Array:
@@ -487,10 +505,7 @@ def _depthwise_3x3(x: jax.Array, kernel9: np.ndarray) -> jax.Array:
         feature_group_count=C, preferred_element_type=x.dtype)
 
 
-def op_sharpness(img, m, key, fill):
-    squeeze = img.ndim == 3
-    x = img[None] if squeeze else img
-    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), x)
+def _sharpness_core(x, factor):
     kernel = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
     smoothed = _depthwise_3x3(x, kernel)
     H, W = x.shape[1:3]
@@ -498,7 +513,14 @@ def op_sharpness(img, m, key, fill):
     xx = jnp.arange(W)[None, :]
     border = (yy == 0) | (yy == H - 1) | (xx == 0) | (xx == W - 1)
     smoothed = jnp.where(border[..., None], x, smoothed)  # PIL keeps the border
-    out = _blend(x, smoothed, factor)
+    return _blend(x, smoothed, factor)
+
+
+def op_sharpness(img, m, key, fill):
+    squeeze = img.ndim == 3
+    x = img[None] if squeeze else img
+    factor = _bcast(_enhance_factor(m, key, jnp.shape(jnp.asarray(m))), x)
+    out = _sharpness_core(x, factor)
     return out[0] if squeeze else out
 
 
@@ -661,6 +683,200 @@ class RandAugmentConfig:
                 f"implemented — append '-inc1' (the reference's recipes "
                 f"all use it, reference tools/train.py:156-160)")
         return cls(**kw)
+
+
+# -----------------------------------------------------------------------------
+# AutoAugment (timm auto_augment.py 'original' policy)
+# -----------------------------------------------------------------------------
+
+# The AutoAugment-paper ImageNet policy: 25 sub-policies of two
+# (op, prob, magnitude-level) slots; per image one sub-policy is sampled
+# uniformly and its two slots applied in order, each gated by its prob
+# (timm auto_augment.py auto_augment_policy_original / AutoAugment.__call__).
+# The reference forwards --aa straight to timm create_transform
+# (reference dataset/datasets.py:56-64), so 'original'/'original-mstd*'
+# specs select exactly this table. Op names map onto the RAND_OPS indices;
+# levels for no-arg ops (AutoContrast/Equalize/Invert) are carried but
+# ignored, as in timm. AutoAugment uses timm's NON-increasing
+# level→argument maps, which differ from the 'inc1' maps the RA kernels
+# implement — the AA appliers below carry their own maps:
+#   PosterizeOriginal  bits   = int(level/10·4) + 4        (range [4, 8])
+#   Solarize           thresh = int(level/10·256)          (range [0, 256])
+#   Color/Contrast/Sharpness  factor = level/10·1.8 + 0.1  (no random sign)
+#   Rotate/ShearX      same map as RA (deg = level/10·30, shear = level/10·0.3,
+#                      randomly negated) — the builders are shared.
+_AA_POLICY_ORIGINAL = (
+    (("PosterizeOriginal", 0.4, 8), ("Rotate", 0.6, 9)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)),
+    (("Equalize", 0.8, 8), ("Equalize", 0.6, 3)),
+    (("PosterizeOriginal", 0.6, 7), ("PosterizeOriginal", 0.6, 6)),
+    (("Equalize", 0.4, 7), ("Solarize", 0.2, 4)),
+    (("Equalize", 0.4, 4), ("Rotate", 0.8, 8)),
+    (("Solarize", 0.6, 3), ("Equalize", 0.6, 7)),
+    (("PosterizeOriginal", 0.8, 5), ("Equalize", 1.0, 2)),
+    (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+    (("Equalize", 0.6, 8), ("PosterizeOriginal", 0.4, 6)),
+    (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+    (("Rotate", 0.4, 9), ("Equalize", 0.6, 2)),
+    (("Equalize", 0.0, 7), ("Equalize", 0.8, 8)),
+    (("Invert", 0.6, 4), ("Equalize", 1.0, 8)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+    (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+    (("Sharpness", 0.4, 7), ("Invert", 0.6, 8)),
+    (("ShearX", 0.6, 5), ("Equalize", 1.0, 9)),
+    (("Color", 0.4, 0), ("Equalize", 0.6, 3)),
+    (("Equalize", 0.4, 7), ("Solarize", 0.2, 4)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 5)),
+    (("Invert", 0.6, 4), ("Equalize", 1.0, 8)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Equalize", 0.8, 8), ("Equalize", 0.6, 3)),
+)
+
+_AA_OP_INDEX = {
+    "AutoContrast": 0, "Equalize": 1, "Invert": 2, "Rotate": 3,
+    "PosterizeOriginal": 4, "Solarize": 5, "Color": 7, "Contrast": 8,
+    "Sharpness": 10, "ShearX": 11,
+}
+
+
+def _aa_solarize(img, level, key, fill):
+    """timm non-increasing Solarize: thresh = int(level/10·256)."""
+    thresh = _bcast(jnp.trunc(jnp.asarray(level) / 10.0 * 256.0), img)
+    return jnp.where(img < thresh, img, 255.0 - img)
+
+
+def _aa_posterize_original(img, level, key, fill):
+    """timm PosterizeOriginal: bits = int(level/10·4) + 4 ∈ [4, 8]."""
+    bits = jnp.trunc(jnp.asarray(level) / 10.0 * 4.0) + 4.0
+    q = _bcast(jnp.exp2(8.0 - bits), img).astype(img.dtype)
+    return jnp.floor(jnp.floor(img) / q) * q
+
+
+def _aa_color(img, level, key, fill):
+    return _color_core(img, _bcast(_aa_enhance_factor(level), img))
+
+
+def _aa_contrast(img, level, key, fill):
+    return _contrast_core(img, _bcast(_aa_enhance_factor(level), img))
+
+
+def _aa_sharpness(img, level, key, fill):
+    return _sharpness_core(img, _bcast(_aa_enhance_factor(level), img))
+
+
+# AA pixel appliers keyed by RAND_OPS index; signature (img, level, key, fill)
+# like the RA ops, but `level` is the policy magnitude-level and each op maps
+# it with the non-increasing timm map above. AutoContrast/Equalize/Invert take
+# no argument, so the RA kernels are shared verbatim.
+_AA_PIXEL_OPS = {
+    0: op_autocontrast, 1: op_equalize, 2: op_invert,
+    4: _aa_posterize_original, 5: _aa_solarize,
+    7: _aa_color, 8: _aa_contrast, 10: _aa_sharpness,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoAugmentConfig:
+    policy: str = "original"
+    mstd: float = 0.0       # gaussian level noise (timm hparams magnitude_std)
+
+    @classmethod
+    def parse(cls, spec: str) -> "AutoAugmentConfig":
+        """Parse timm AutoAugment specs: 'original' / 'original-mstd0.5'.
+
+        timm's auto_augment_transform accepts only 'mstd' sections after
+        the policy name (anything else asserts); of the policy tables only
+        'original' — the table the AutoAugment paper published and the one
+        a reference user would reach for — is implemented here. 'originalr'
+        (increasing-posterize variant), 'v0'/'v0r' (the TF EfficientNet
+        re-search), and '3a' are rejected loudly rather than silently
+        approximated; AugMix ('augmix-*') is a different algorithm
+        (mixed chains) and is rejected in the same way."""
+        parts = spec.split("-")
+        if parts[0] != "original":
+            raise NotImplementedError(
+                f"--aa '{spec}': AutoAugment policy '{parts[0]}' is not "
+                f"implemented ('original' is; 'originalr'/'v0'/'v0r'/'3a'/"
+                f"AugMix are not — see docs/PARITY.md)")
+        mstd = 0.0
+        for tok in parts[1:]:
+            if tok.startswith("mstd"):
+                mstd = float(tok[4:])
+            else:
+                raise NotImplementedError(
+                    f"--aa token '{tok}' in '{spec}': timm AutoAugment "
+                    f"specs accept only 'mstd#' sections")
+        return cls(policy=parts[0], mstd=mstd)
+
+    def tables(self):
+        """(op[25,2] int32, prob[25,2] f32, level[25,2] f32) numpy tables."""
+        tab = _AA_POLICY_ORIGINAL
+        op = np.array([[_AA_OP_INDEX[s[0]] for s in sp] for sp in tab],
+                      np.int32)
+        prob = np.array([[s[1] for s in sp] for sp in tab], np.float32)
+        lvl = np.array([[float(s[2]) for s in sp] for sp in tab], np.float32)
+        return op, prob, lvl
+
+
+def parse_aa_spec(spec: str):
+    """Dispatch a timm --aa policy string.
+
+    Returns RandAugmentConfig ('rand-*'), AutoAugmentConfig ('original*'),
+    or None (empty/disabled). Anything else — AugMix, v0, unsupported
+    tokens — raises NotImplementedError with remediation text (the repo
+    convention: failing loudly beats silently training a different
+    recipe). Matches the surface timm's create_transform dispatches on
+    (reference dataset/datasets.py:56-64)."""
+    if not spec:
+        return None
+    if spec.startswith("rand"):
+        return RandAugmentConfig.parse(spec)
+    if spec.startswith("original") or spec.startswith("v0") \
+            or spec.startswith("3a") or spec.startswith("augmix"):
+        return AutoAugmentConfig.parse(spec)
+    raise NotImplementedError(
+        f"--aa '{spec}' is not a recognized timm policy string "
+        f"('rand-*' RandAugment and 'original[-mstd#]' AutoAugment are "
+        f"implemented; use '' to disable)")
+
+
+def _sample_aa_slot(key: jax.Array, sp: jax.Array, slot: int,
+                    aa: AutoAugmentConfig):
+    """Per-image (op_idx, apply, level) for one sub-policy slot.
+
+    Lookup by sampled sub-policy index `sp` [B] into the policy tables;
+    apply-gate u < prob and optional gaussian level noise clipped to
+    [0, 10], both per timm AugmentOp.__call__."""
+    op_t, prob_t, lvl_t = aa.tables()
+    op_idx = jnp.take(jnp.asarray(op_t[:, slot]), sp)
+    prob = jnp.take(jnp.asarray(prob_t[:, slot]), sp)
+    level = jnp.take(jnp.asarray(lvl_t[:, slot]), sp)
+    k_apply, k_mag = jax.random.split(key)
+    apply = jax.random.uniform(k_apply, sp.shape) < prob
+    if aa.mstd > 0:
+        level = jnp.clip(
+            level + aa.mstd * jax.random.normal(k_mag, sp.shape), 0.0, 10.0)
+    return op_idx, apply, level
+
+
+def _apply_aa_pixel_ops(imgs, op_idx, apply, level, key, fill):
+    """One AutoAugment slot's pixel ops, batched from a common input.
+
+    Within a slot each image runs exactly one op, so the per-op masks are
+    disjoint and every op can read the slot input — the same select-chain
+    fusion structure as _apply_ra_pixel_ops. No subset gather here: under
+    the 'original' policy Equalize is selected for ~45% of images
+    (Σ probs/25 over the table), so there is no sparse tail to exploit —
+    full-batch masked application is also the partition-safe path on a
+    multi-device data mesh."""
+    x = imgs
+    out = imgs
+    for i, op in _AA_PIXEL_OPS.items():
+        sel = apply & (op_idx == i)
+        out = jnp.where(sel[:, None, None, None],
+                        op(x, level, jax.random.fold_in(key, i), fill), out)
+    return out
 
 
 def _sample_ra_layer(key: jax.Array, B: int, ra: RandAugmentConfig):
@@ -910,7 +1126,8 @@ class AugmentConfig:
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     rand_augment: Optional[RandAugmentConfig] = None
-    color_jitter: float = 0.0          # active only when rand_augment is None (timm)
+    auto_augment: Optional["AutoAugmentConfig"] = None
+    color_jitter: float = 0.0          # active only when --aa is unset (timm)
     reprob: float = 0.25
     interpolation: str = "bicubic"     # crop/resize kernel (timm --interpolation)
     remode: str = "pixel"              # timm RandomErasing fill mode
@@ -932,11 +1149,13 @@ class AugmentConfig:
         from deltakd_tpu.data.registry import DATASET_STATS
 
         stats = DATASET_STATS[cfg.dataset]
-        ra = RandAugmentConfig.parse(cfg.aa) if not cfg.ThreeAugment else None
+        aa = parse_aa_spec(cfg.aa) if not cfg.ThreeAugment else None
+        ra = aa if isinstance(aa, RandAugmentConfig) else None
+        auto = aa if isinstance(aa, AutoAugmentConfig) else None
         return cls(
             input_size=cfg.input_size, mean=tuple(stats["mean"]),
-            std=tuple(stats["std"]), rand_augment=ra,
-            color_jitter=cfg.color_jitter if (ra is None or cfg.ThreeAugment) else 0.0,
+            std=tuple(stats["std"]), rand_augment=ra, auto_augment=auto,
+            color_jitter=cfg.color_jitter if (aa is None or cfg.ThreeAugment) else 0.0,
             reprob=cfg.reprob if not cfg.ThreeAugment else 0.0,
             # getattr: config-like stubs (tests) may predate these flags;
             # defaults mirror TrainConfig / reference train.py:173-188
@@ -1026,6 +1245,25 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
                 apply & jnp.isin(op_idx, geo_ids))
             ra_layers.append((op_idx, apply, m, jax.random.fold_in(k_l, 999)))
 
+    # 3b. AutoAugment: one sub-policy per image, its two slots in order;
+    # geometric slots fold into the same accumulated affine as RA (the
+    # documented geometry-before-pixel-ops deviation applies identically)
+    aa_layers = []
+    if ac.auto_augment is not None and not ac.three_augment:
+        geo_ids = jnp.asarray(list(_GEO_BUILDERS), jnp.int32)
+        sp = jax.random.randint(jax.random.fold_in(k_aug, 0x5F), (B,), 0,
+                                len(_AA_POLICY_ORIGINAL))
+        for slot in range(2):
+            k_s = jax.random.fold_in(k_aug, slot)
+            op_idx, apply, level = _sample_aa_slot(k_s, sp, slot,
+                                                   ac.auto_augment)
+            g_s = _ra_geo_matrices(op_idx, apply, level,
+                                   jax.random.fold_in(k_geo, slot), S)
+            geo = compose(geo, g_s)
+            any_geo = any_geo | jnp.any(apply & jnp.isin(op_idx, geo_ids))
+            aa_layers.append((op_idx, apply, level,
+                              jax.random.fold_in(k_s, 999)))
+
     # 4. resampling: the axis-aligned crop/flip runs as two MXU matmuls; the
     # (rarely selected) oblique RandAugment affine runs as one batched gather
     # warp, placed at whichever resolution is smaller and gated by lax.cond.
@@ -1078,7 +1316,10 @@ def train_transform(key: jax.Array, images_u8: jax.Array, ac: AugmentConfig
         for op_idx, apply, m, k_px in ra_layers:
             imgs = _apply_ra_pixel_ops(imgs, op_idx, apply, m, k_px, fill,
                                        subset_ok=ac.subset_ops)
-        if ac.rand_augment is None and ac.color_jitter > 0:
+        for op_idx, apply, level, k_px in aa_layers:
+            imgs = _apply_aa_pixel_ops(imgs, op_idx, apply, level, k_px, fill)
+        if ac.rand_augment is None and ac.auto_augment is None \
+                and ac.color_jitter > 0:
             imgs = color_jitter_batch(k_aug, imgs, ac.color_jitter)
 
     imgs = _normalize(imgs, ac)

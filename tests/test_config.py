@@ -70,10 +70,10 @@ def test_unhonored_flags_fail_loudly():
 def test_unsupported_aa_specs_fail_loudly():
     """Round-4 review finding #3: non-'rand' --aa specs used to silently
     train jitter-only. The reference passes --aa straight to timm
-    create_transform (reference dataset/datasets.py:56-64), which honors
-    AutoAugment/AugMix tables we do not implement — those must reject at
-    config time, with the supported surface still parsing cleanly."""
-    for bad in ("original-mstd0.5", "v0", "augmix-m5-w3",
+    create_transform (reference dataset/datasets.py:56-64); the honored
+    surface (RandAugment 'rand-*-inc1', AutoAugment 'original[-mstd#]')
+    must parse cleanly and everything else must reject at config time."""
+    for bad in ("originalr", "v0", "augmix-m5-w3",
                 "rand-m9-mstd0.5",        # missing inc1: non-increasing maps
                 "rand-m9-mstd0.5-inc0",   # explicit non-increasing
                 "rand-m9-w0-inc1",        # op-probability weight presets
@@ -84,6 +84,9 @@ def test_unsupported_aa_specs_fail_loudly():
     assert parse_args(["--aa", "rand-m9-mstd0.5-inc1"]).aa == \
         "rand-m9-mstd0.5-inc1"
     assert parse_args(["--aa", "rand-m7-n3-p0.7-mstd1.0-inc1"]).aa
+    # round-5: the AutoAugment-paper 'original' policy is implemented
+    assert parse_args(["--aa", "original"]).aa == "original"
+    assert parse_args(["--aa", "original-mstd0.5"]).aa == "original-mstd0.5"
     assert parse_args(["--aa", ""]).aa == ""
 
 

@@ -70,6 +70,107 @@ def test_rand_augment_runs_and_stays_in_range():
 
 
 # ---------------------------------------------------------------------------
+# AutoAugment ('original' policy, timm auto_augment.py semantics)
+# ---------------------------------------------------------------------------
+
+def test_parse_aa_spec_dispatch():
+    assert isinstance(A.parse_aa_spec("rand-m9-mstd0.5-inc1"),
+                      A.RandAugmentConfig)
+    aa = A.parse_aa_spec("original")
+    assert isinstance(aa, A.AutoAugmentConfig) and aa.mstd == 0.0
+    assert A.parse_aa_spec("original-mstd0.5").mstd == 0.5
+    assert A.parse_aa_spec("") is None
+    for bad in ("v0", "v0r", "originalr", "3a", "augmix-m3-w2",
+                "original-n2", "bogus"):
+        with pytest.raises(NotImplementedError):
+            A.parse_aa_spec(bad)
+
+
+def test_aa_posterize_solarize_match_pil():
+    """timm's NON-increasing level→arg maps, exact vs PIL at every level."""
+    img = _rand_img(11)
+    f = jnp.asarray(img, jnp.float32)
+    pil = Image.fromarray(img)
+    for level in (0.0, 2.5, 5.0, 8.0, 10.0):
+        bits = int(level / 10 * 4) + 4          # PosterizeOriginal ∈ [4, 8]
+        ours = np.asarray(A._aa_posterize_original(f, level, None, None))
+        np.testing.assert_array_equal(
+            ours, np.asarray(ImageOps.posterize(pil, bits)), err_msg=f"{level}")
+        thresh = int(level / 10 * 256)          # Solarize (non-increasing)
+        ours = np.asarray(A._aa_solarize(f, level, None, None))
+        ref = np.asarray(pil, np.int32)
+        ref = np.where(ref < thresh, ref, 255 - ref)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{level}")
+
+
+def test_aa_enhance_ops_match_pil():
+    """Enhance factor 0.1 + 1.8·level/10, deterministic (no random sign)."""
+    from PIL import ImageEnhance
+
+    img = _rand_img(12)
+    f = jnp.asarray(img, jnp.float32)[None]
+    pil = Image.fromarray(img)
+    for level in (0.0, 5.0, 10.0):
+        factor = level / 10 * 1.8 + 0.1
+        for ours_fn, pil_cls in ((A._aa_color, ImageEnhance.Color),
+                                 (A._aa_contrast, ImageEnhance.Contrast),
+                                 (A._aa_sharpness, ImageEnhance.Sharpness)):
+            ours = np.asarray(ours_fn(f, jnp.full((1,), level), None, None))[0]
+            ref = np.asarray(pil_cls(pil).enhance(factor), np.float32)
+            # PIL quantizes its grayscale/smoothed degenerate image to uint8
+            # before blending; ours stays in float — ≤2/255 at the worst pixel
+            assert np.abs(ours - ref).max() <= 2.0, (pil_cls.__name__, level)
+
+
+def test_aa_slot_sampling_matches_policy_table():
+    aa = A.AutoAugmentConfig.parse("original")
+    op_t, prob_t, lvl_t = aa.tables()
+    assert op_t.shape == (25, 2)
+    sp = jnp.arange(25, dtype=jnp.int32)
+    for slot in range(2):
+        op_idx, apply, level = A._sample_aa_slot(
+            jax.random.PRNGKey(0), sp, slot, aa)
+        np.testing.assert_array_equal(np.asarray(op_idx), op_t[:, slot])
+        np.testing.assert_array_equal(np.asarray(level), lvl_t[:, slot])
+    # spot-check the table against the AutoAugment-paper ImageNet policy
+    assert A._AA_POLICY_ORIGINAL[0] == (("PosterizeOriginal", 0.4, 8),
+                                        ("Rotate", 0.6, 9))
+    assert A._AA_POLICY_ORIGINAL[13][1] == ("Equalize", 1.0, 8)
+    # prob gates: sub-policy 13 slot 1 (Equalize, p=1.0) always applies;
+    # sub-policy 12 slot 0 (Equalize, p=0.0) never does
+    sp_many = jnp.full((256,), 13, jnp.int32)
+    _, apply, _ = A._sample_aa_slot(jax.random.PRNGKey(1), sp_many, 1, aa)
+    assert bool(jnp.all(apply))
+    sp_many = jnp.full((256,), 12, jnp.int32)
+    _, apply, _ = A._sample_aa_slot(jax.random.PRNGKey(2), sp_many, 0, aa)
+    assert not bool(jnp.any(apply))
+    # mstd: levels get gaussian noise, stay clipped to [0, 10]
+    aa_n = A.AutoAugmentConfig.parse("original-mstd0.5")
+    _, _, level = A._sample_aa_slot(jax.random.PRNGKey(3),
+                                    jnp.zeros((512,), jnp.int32), 0, aa_n)
+    level = np.asarray(level)
+    assert level.std() > 0.1 and level.min() >= 0.0 and level.max() <= 10.0
+
+
+def test_train_transform_autoaugment():
+    cfgish = type("C", (), dict(
+        dataset="cifar-100", input_size=64, aa="original-mstd0.5",
+        color_jitter=0.3, reprob=0.25, ThreeAugment=False, src=False,
+        eval_crop_ratio=0.875))
+    ac = A.AugmentConfig.from_config(cfgish)
+    assert ac.auto_augment is not None and ac.rand_augment is None
+    assert ac.color_jitter == 0.0          # timm: --aa disables jitter
+    batch = jnp.asarray(np.stack([_rand_img(i, 96, 96) for i in range(8)]))
+    out = A.train_transform(jax.random.PRNGKey(0), batch, ac)
+    assert out.shape == (8, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = A.train_transform(jax.random.PRNGKey(0), batch, ac)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = A.train_transform(jax.random.PRNGKey(1), batch, ac)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 0.1
+
+
+# ---------------------------------------------------------------------------
 # Geometric path
 # ---------------------------------------------------------------------------
 
